@@ -1,0 +1,132 @@
+"""Common: the suite-wide parameter + state block.
+
+TPU-native analog of the reference's per-package Control/Common structs
+(CHOLMOD cholmod_common: cholmod_core.h:416+; AMD Control: amd.h:341-346;
+UMFPACK Control[20]: umfpack.h:267-304; KLU common: klu.h:145-166).
+One dataclass tree instead of double arrays; an ``Info`` metrics dict
+instead of Info[90] arrays (SURVEY.md §5 "Config / flag system").
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Optional
+
+from .status import Status
+
+
+# ---------------------------------------------------------------------------
+# Ordering method identifiers (CHOLMOD method catalogue, cholmod_analyze.c:44-58)
+# ---------------------------------------------------------------------------
+ORDER_NATURAL = "natural"
+ORDER_GIVEN = "given"
+ORDER_AMD = "amd"
+ORDER_COLAMD = "colamd"
+ORDER_METIS = "nesdis"      # our native nested dissection stands in for METIS
+ORDER_NESDIS = "nesdis"
+ORDER_BEST = "best"
+
+
+@dataclasses.dataclass
+class CholeskyOptions:
+    """CHOLMOD-equivalent knobs (defaults match cholmod_common.c unless retuned
+    for TPU, in which case the reference default is noted)."""
+
+    # Ordering search loop (cholmod_analyze.c:59-69): try these in order, keep
+    # the one with min nnz(L). Empty => default escalation behaviour.
+    methods: tuple[str, ...] = ()
+    # Escalate from AMD to nested dissection iff fl/lnz >= 500 and
+    # lnz/anz >= 5 (cholmod_analyze.c:59-69).
+    nd_flops_per_lnz: float = 500.0
+    nd_fill_ratio: float = 5.0
+    # Supernodal vs simplicial auto switch: supernodal iff
+    # flops/nnz(L) >= supernodal_switch (cholmod_core.h:458-465, default 40).
+    supernodal: str = "auto"            # "auto" | "simplicial" | "supernodal"
+    supernodal_switch: float = 40.0
+    # Relaxed amalgamation (cholmod_core.h:498-507; defaults nrelax={4,16,48},
+    # zrelax={0.8,0.1,0.05}).  TPU retune: wider supernodes feed the 128x128
+    # MXU better, so we allow much larger merges (documented deviation, see
+    # SURVEY.md §2b item 4: "the knob to retarget at 128x128 MXU tiles").
+    nrelax: tuple[int, int, int] = (16, 64, 160)
+    zrelax: tuple[float, float, float] = (0.9, 0.25, 0.10)
+    # AMD dense-row handling (amd.h:140-148): rows with > dense*sqrt(n)
+    # entries are deferred to the end of the order.
+    amd_dense: float = 10.0
+    amd_aggressive: bool = True
+    # Numeric
+    dbound: float = 0.0                 # min |D| for LDL' (cholmod dbound)
+    factor_dtype: Any = None            # None => float64 on CPU, float32 on TPU
+    # Iterative refinement steps applied in solve() when factor dtype is
+    # lower-precision than the input (mixed-precision path, SURVEY.md §7).
+    refine_steps: int = 2
+
+
+@dataclasses.dataclass
+class LUOptions:
+    """UMFPACK/KLU-equivalent knobs (umfpack.h:267-335, klu.h:145-166)."""
+
+    strategy: str = "auto"              # auto | unsymmetric | symmetric
+    # auto strategy: symmetric iff pattern symmetry >= 0.5 and
+    # nzdiag >= 0.9 n (umfpack_qsymbolic.c:1232-1247)
+    sym_threshold: float = 0.5
+    nzdiag_threshold: float = 0.9
+    pivot_tol: float = 0.1              # threshold partial pivoting (umfpack.h:323)
+    sym_pivot_tol: float = 0.001        # diagonal preference (umfpack.h:325)
+    scale: str = "sum"                  # none | sum | max (UMFPACK default sum,
+                                        # KLU default max)
+    btf: bool = True                    # KLU: BTF preordering on by default
+    ordering: str = "auto"              # amd | colamd | auto | natural | given
+    refine_steps: int = 2               # max iterative refinement (UMFPACK IRSTEP)
+    halt_if_singular: bool = False      # klu.h:165
+    factor_dtype: Any = None
+
+
+@dataclasses.dataclass
+class QROptions:
+    """SPQR-equivalent knobs (SuiteSparseQR_definitions.h)."""
+
+    ordering: str = "auto"              # colamd default for QR
+    # rank-detection tol: 20*(m+n)*eps*max column 2-norm
+    # (SuiteSparseQR_definitions.h:28, spqr_tol.cpp:23-24)
+    tol: Optional[float] = None
+    factor_dtype: Any = None
+
+
+@dataclasses.dataclass
+class Common:
+    """Suite-wide state: options, status, metrics, pluggable printing.
+
+    The reference routes all printing through a pluggable printf pointer
+    (SuiteSparse_config.h:93,179-185) and all state through Common; we keep
+    both ideas.
+    """
+
+    cholesky: CholeskyOptions = dataclasses.field(default_factory=CholeskyOptions)
+    lu: LUOptions = dataclasses.field(default_factory=LUOptions)
+    qr: QROptions = dataclasses.field(default_factory=QROptions)
+
+    status: Status = Status.OK
+    print_level: int = 1                # 0..4 like cholmod Common->print
+    print_func: Callable[[str], None] = print
+
+    # Info metrics dict — the Info[90]/Info[20] analog.  Populated by
+    # analyze/factorize/solve with: ordering used, lnz, anz, flops,
+    # per-phase wall times, residuals, memory estimates.
+    info: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def log(self, level: int, msg: str) -> None:
+        if self.print_level >= level:
+            self.print_func(msg)
+
+    # -- timers (SuiteSparse_tic/toc analog, SuiteSparse_config.h:139-154) --
+    def tic(self, key: str) -> None:
+        self.info[f"_tic_{key}"] = time.perf_counter()
+
+    def toc(self, key: str) -> float:
+        t = time.perf_counter() - self.info.pop(f"_tic_{key}", time.perf_counter())
+        self.info[f"time_{key}"] = self.info.get(f"time_{key}", 0.0) + t
+        return t
+
+
+def default_common() -> Common:
+    return Common()

@@ -1,0 +1,111 @@
+"""Synthetic test/benchmark matrix generators.
+
+Offline stand-ins for the ssget benchmark families named in BASELINE.md
+(bcsstk*, nd6k/nd24k, audikw_1, west0479, torso3, KLU circuit matrices).
+Grid Laplacians are the canonical SPD model problems with the same
+structure class (2D/3D FEM-like) as the bcsstk/nd/audikw sets; circuit
+stand-ins use randomized modified-nodal-analysis-style patterns.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..core.sparse import SYM_UPPER, SparseCSC
+
+
+def laplacian_2d(nx: int, ny: Optional[int] = None, dtype=np.float64) -> SparseCSC:
+    """5-point 2D grid Laplacian, SPD (shifted by identity)."""
+    ny = ny or nx
+    Ix, Iy = sp.identity(nx), sp.identity(ny)
+    Tx = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx))
+    Ty = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(ny, ny))
+    A = sp.kron(Iy, Tx) + sp.kron(Ty, Ix) + 0.01 * sp.identity(nx * ny)
+    return SparseCSC.from_scipy(sp.csc_matrix(A, dtype=dtype))
+
+
+def laplacian_3d(nx: int, ny: Optional[int] = None, nz: Optional[int] = None,
+                 dtype=np.float64) -> SparseCSC:
+    """7-point 3D grid Laplacian, SPD."""
+    ny, nz = ny or nx, nz or nx
+    def T(n):
+        return sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n))
+    Ix, Iy, Iz = sp.identity(nx), sp.identity(ny), sp.identity(nz)
+    A = (sp.kron(Iz, sp.kron(Iy, T(nx)))
+         + sp.kron(Iz, sp.kron(T(ny), Ix))
+         + sp.kron(T(nz), sp.kron(Iy, Ix))
+         + 0.01 * sp.identity(nx * ny * nz))
+    return SparseCSC.from_scipy(sp.csc_matrix(A, dtype=dtype))
+
+
+def random_spd(n: int, density: float = 0.01, seed: int = 0,
+               dtype=np.float64) -> SparseCSC:
+    """Random SPD: A = B B' + n I with sparse B."""
+    rng = np.random.default_rng(seed)
+    B = sp.random(n, n, density=density, random_state=rng, format="csc")
+    A = (B @ B.T + n * sp.identity(n)).tocsc()
+    return SparseCSC.from_scipy(sp.csc_matrix(A, dtype=dtype))
+
+
+def random_unsym(n: int, density: float = 0.01, seed: int = 0,
+                 diag_dominant: bool = True, dtype=np.float64) -> SparseCSC:
+    """Random unsymmetric square matrix with guaranteed nonzero diagonal."""
+    rng = np.random.default_rng(seed)
+    B = sp.random(n, n, density=density, random_state=rng, format="csc")
+    B = B + sp.diags(rng.uniform(1.0, 2.0, n) * (n * density + 1 if diag_dominant else 1))
+    return SparseCSC.from_scipy(sp.csc_matrix(B, dtype=dtype))
+
+
+def circuit_like(n: int, seed: int = 0, dtype=np.float64) -> SparseCSC:
+    """Sparse unsymmetric circuit-sim-like matrix: near-symmetric pattern,
+    strong diagonal, a few dense-ish rows/cols (voltage sources / rails) —
+    the structure class KLU targets."""
+    rng = np.random.default_rng(seed)
+    k = max(1, n // 50)
+    # sparse near-symmetric background
+    B = sp.random(n, n, density=min(4.0 / n, 0.5), random_state=rng, format="coo")
+    Bs = B + B.T.multiply(0.9)
+    # rails: a few rows+cols with many entries
+    rails = rng.choice(n, size=k, replace=False)
+    rr, cc = [], []
+    for r in rails:
+        tie = rng.choice(n, size=max(2, n // 20), replace=False)
+        rr.extend([r] * len(tie)); cc.extend(tie.tolist())
+        rr.extend(tie.tolist()); cc.extend([r] * len(tie))
+    rails_m = sp.coo_matrix((rng.standard_normal(len(rr)) * 0.1, (rr, cc)), shape=(n, n))
+    A = (Bs + rails_m).tocsc()
+    A = A + sp.diags(np.abs(A).sum(axis=1).A1 + 1.0)
+    return SparseCSC.from_scipy(sp.csc_matrix(A, dtype=dtype))
+
+
+def symmetrize_upper(A: SparseCSC) -> SparseCSC:
+    """Return upper-triangular symmetric storage of (A+A')/2 + shift."""
+    S = A.to_scipy()
+    S = (S + S.T) * 0.5
+    U = sp.triu(S).tocsc()
+    return SparseCSC(U.indptr, U.indices, U.data, U.shape, stype=SYM_UPPER)
+
+
+_STANDINS = {
+    # SPD families (BASELINE configs: bcsstk -> audikw_1, nd24k)
+    "bcsstk01": lambda: laplacian_2d(7),
+    "bcsstk16": lambda: laplacian_3d(12),
+    "nd6k": lambda: laplacian_3d(28),
+    "nd24k": lambda: laplacian_3d(42),
+    "audikw_1": lambda: laplacian_3d(48),
+    # unsymmetric families
+    "west0479": lambda: random_unsym(479, density=0.008, seed=3),
+    "west0067": lambda: random_unsym(67, density=0.06, seed=4),
+    "torso3": lambda: random_unsym(4000, density=0.002, seed=5),
+    # circuit matrices (KLU demo class)
+    "rajat11": lambda: circuit_like(135, seed=7),
+    "rajat14": lambda: circuit_like(180, seed=8),
+    "onetone2": lambda: circuit_like(3000, seed=9),
+}
+
+
+def synthetic_standin(name: str) -> Optional[SparseCSC]:
+    fn = _STANDINS.get(name)
+    return fn() if fn else None
