@@ -1,0 +1,2 @@
+from .amd import amd, camd, amd_valid, amd_info
+from .colamd import colamd, symamd, ccolamd, csymamd
