@@ -1,0 +1,119 @@
+"""Headline benchmark: supernodal Cholesky numeric factorization on TPU.
+
+Protocol follows the reference's demo metrics (BASELINE.md):
+  factor rate  = 1e-6 * fl / t_factor   (cholmod_demo.c:598-601)
+  residual     = ||Ax-b||inf / (||A||1 ||x||inf + ||b||inf)  (:453-503)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares numeric-factorization wall time against scipy's
+SuperLU (splu, the strongest locally runnable CPU direct solver) on the
+same matrix — the stand-in for CHOLMOD which is not available in this image.
+Extra detail goes to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    matrix = os.environ.get("BENCH_MATRIX", "nd6k")
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+
+    import jax
+    import jax.numpy as jnp
+    from suitesparse_tpu.cholesky import (analyze, super_symbolic, solve_super,
+                                          residual_norm)
+    from suitesparse_tpu.cholesky.super_numeric import (
+        _assemble_values, _run_levels, build_plan, SuperFactor)
+    from suitesparse_tpu.core.common import default_common
+    from suitesparse_tpu.io import collection
+
+    platform = next(iter(jnp.zeros(1).devices())).platform
+    # f32 factor + f64 refinement everywhere (the TPU-native precision story;
+    # on CPU without x64 enabled f64 would silently truncate anyway)
+    dtype = np.float32
+    log(f"platform={platform} dtype={np.dtype(dtype).name} matrix={matrix}")
+
+    A = collection.get(matrix)
+    if A.stype == 0:
+        from suitesparse_tpu.io.generators import symmetrize_upper
+        A = symmetrize_upper(A)
+    n = A.ncol
+    cm = default_common()
+    cm.cholesky.supernodal = "supernodal"
+
+    t0 = time.perf_counter()
+    sym = analyze(A, cm)
+    ss = super_symbolic(A, sym, cm)
+    plan = build_plan(ss)
+    t_analyze = time.perf_counter() - t0
+    log(f"n={n} nnz(A)={A.nnz} lnz={sym.lnz} fl={sym.flops:.3g} "
+        f"nsuper={ss.nsuper} levels={len(ss.levels)} analyze={t_analyze:.2f}s")
+
+    vals = _assemble_values(A, sym, ss, dtype)
+    a_dst = jnp.asarray(ss.a_scatter_dst)
+    level_arrays = tuple(
+        tuple((jnp.asarray(b.gather), jnp.asarray(b.padeye, dtype=dtype),
+               jnp.asarray(b.dest)) for b in lv)
+        for lv in plan.levels)
+
+    import functools
+
+    @jax.jit
+    def numeric(avals):
+        Lx = jnp.zeros(plan.total + 1, dtype=dtype)
+        Lx = Lx.at[a_dst].add(avals)
+        from suitesparse_tpu.cholesky.super_numeric import _level_step
+        for li in range(len(plan.levels)):
+            Lx = _level_step(Lx, level_arrays[li])
+        return Lx
+
+    av = jnp.asarray(vals)
+    Lx = numeric(av)
+    Lx.block_until_ready()          # compile warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        Lx = numeric(av)
+        Lx.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t_factor = min(times)
+    gflops = sym.flops / t_factor / 1e9
+    log(f"factor: {t_factor*1e3:.2f} ms  -> {gflops:.1f} GFLOP/s")
+
+    # residual check (with refinement when factoring in f32)
+    f = SuperFactor(plan=plan, Lx=Lx, perm=sym.perm, minor=n, dtype=dtype)
+    b = np.ones(n)
+    x = solve_super(f, b.astype(dtype)).astype(np.float64)
+    S = A.to_scipy()
+    for _ in range(3 if dtype == np.float32 else 1):
+        r = b - S @ x
+        x = x + solve_super(f, r.astype(dtype)).astype(np.float64)
+    res = residual_norm(A, x, b)
+    log(f"residual (after refinement): {res:.2e}")
+
+    # baseline: scipy SuperLU on the same matrix (CPU)
+    import scipy.sparse.linalg as spla
+    Sc = S.tocsc()
+    t0 = time.perf_counter()
+    spla.splu(Sc)
+    t_base = time.perf_counter() - t0
+    log(f"scipy splu baseline: {t_base*1e3:.2f} ms; speedup {t_base/t_factor:.2f}x")
+
+    print(json.dumps({
+        "metric": "supernodal_cholesky_factor_gflops",
+        "value": round(gflops, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(t_base / t_factor, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

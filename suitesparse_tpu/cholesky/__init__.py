@@ -1,0 +1,7 @@
+from .symbolic import Symbolic, analyze, analyze_ordering
+from .simplicial import (Factor, factorize_simplicial, solve, lsolve, ltsolve,
+                         dsolve, rcond)
+from .supernodal import SuperSymbolic, super_symbolic
+from .super_numeric import (SuperFactor, NumericPlan, build_plan,
+                            factorize_super, solve_super)
+from .api import CholeskySolver, cholesky, spsolve_chol, residual_norm

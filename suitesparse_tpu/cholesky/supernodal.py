@@ -1,0 +1,278 @@
+"""Supernodal symbolic analysis: supernode partition, packed panel layout,
+level schedule, and static gather/scatter maps for the TPU numeric phase.
+
+Reference behavior (CHOLMOD/Supernodal/cholmod_super_symbolic.c):
+  * fundamental supernodes (:415-434): column j joins column j-1's
+    supernode iff parent[j-1] == j, colcount[j-1] == colcount[j] + 1, and
+    j has exactly one child in the etree;
+  * relaxed amalgamation (:475-560): merge a child supernode into its
+    parent if small (ns <= nrelax0) or if the fraction of explicit zeros z
+    stays under staged thresholds (ns<=nrelax1 && z<zrelax0) ||
+    (ns<=nrelax2 && z<zrelax1) || z<zrelax2.  Reference defaults
+    nrelax={4,16,48}, zrelax={0.8,0.1,0.05}; our Common defaults are
+    retuned wider for the 128x128 MXU (SURVEY.md §2b item 4).
+
+TPU-first design (NOT in the reference): the factor is a single flat
+buffer of dense row-major panels; every irregular access (A scatter,
+extend-add between supernodes) is precomputed here as a static index map so
+the numeric phase is a fixed sequence of dense kernels + scatter-adds that
+XLA can compile once per level shape (SURVEY.md §7.4).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..core.common import Common, default_common
+from ..core.sparse import INDEX, SparseCSC
+from .symbolic import Symbolic, analyze, _force_upper
+
+
+def _pad_dim(x: int, grain: int = 8, max_pow2: int = 128) -> int:
+    """Round a panel dimension up to a bucket size: multiples of `grain`
+    below 128, then multiples of 128 (MXU tile) above."""
+    if x <= grain:
+        return grain
+    if x <= max_pow2:
+        # next power of two-ish: multiples of grain, snapped to powers of 2
+        p = grain
+        while p < x:
+            p *= 2
+        return p
+    return ((x + max_pow2 - 1) // max_pow2) * max_pow2
+
+
+@dataclasses.dataclass
+class SuperSymbolic:
+    """Supernodal symbolic factor + all static maps for the numeric phase."""
+
+    n: int
+    nsuper: int
+    super: np.ndarray          # (nsuper+1,) column boundaries
+    col_to_super: np.ndarray   # (n,)
+    sn_rowptr: np.ndarray      # (nsuper+1,) into sn_rows
+    sn_rows: np.ndarray        # concatenated sorted row lists (incl. diag cols)
+    panel_off: np.ndarray      # (nsuper+1,) flat offsets; panel s is
+                               # row-major (ms, ns) at panel_off[s]
+    total: int                 # total packed panel storage (plus 1 trash slot)
+    sn_parent: np.ndarray      # supernodal etree
+    levels: list[np.ndarray]   # topo schedule: levels[0] = leaves ... root last
+    lnz_dense: int             # sum ms*ns (packed storage, incl. explicit zeros)
+
+    # static maps for numeric
+    a_scatter_dst: np.ndarray  # flat positions in Lx for tril(PAP') nonzeros
+    a_scatter_src: np.ndarray  # corresponding indices into P.data
+
+    def panel_shape(self, s: int) -> tuple[int, int]:
+        ms = int(self.sn_rowptr[s + 1] - self.sn_rowptr[s])
+        ns = int(self.super[s + 1] - self.super[s])
+        return ms, ns
+
+    def rows_of(self, s: int) -> np.ndarray:
+        return self.sn_rows[self.sn_rowptr[s]:self.sn_rowptr[s + 1]]
+
+
+def super_symbolic(A: SparseCSC, sym: Symbolic,
+                   common: Optional[Common] = None) -> SuperSymbolic:
+    """Build the supernode partition and all numeric-phase maps.
+
+    Works on the postordered, fill-permuted pattern; updates sym.perm to
+    the combined permutation (fill perm then postorder) like
+    cholmod_analyze does before super_symbolic.
+    """
+    cm = common or default_common()
+    opts = cm.cholesky
+    n = sym.n
+
+    # --- postorder the etree so supernode columns are contiguous ----------
+    post = sym.post
+    perm2 = sym.perm[post]
+    U = _force_upper(A) if A.stype == 0 else (A if A.stype > 0 else A.transpose())
+    P = U.symperm(perm2, values=False).sort_indices()
+    from ..graph import col_counts, etree, postorder as _postorder
+    parent = etree(P)
+    post2 = _postorder(parent)
+    if not np.array_equal(post2, np.arange(n)):
+        # apply remaining postorder (should be identity for a proper
+        # postordered etree, but be safe)
+        perm2 = perm2[post2]
+        P = U.symperm(perm2, values=False).sort_indices()
+        parent = etree(P)
+    cc = col_counts(P, parent, _postorder(parent))
+    sym.perm = perm2
+    sym.parent = parent
+    sym.colcount = cc
+    sym.post = np.arange(n, dtype=INDEX)
+
+    # --- fundamental supernodes (cholmod_super_symbolic.c:415-434) --------
+    nchild = np.zeros(n + 1, dtype=INDEX)
+    for j in range(n):
+        p = int(parent[j])
+        nchild[p if p != -1 else n] += 1
+    super_starts = [0]
+    for j in range(1, n):
+        fundamental = (parent[j - 1] == j
+                       and cc[j - 1] == cc[j] + 1
+                       and nchild[j] == 1)
+        if not fundamental:
+            super_starts.append(j)
+    super_ = np.array(super_starts + [n], dtype=INDEX)
+
+    # --- relaxed amalgamation (cholmod_super_symbolic.c:475-560) ----------
+    nrelax0, nrelax1, nrelax2 = opts.nrelax
+    zrelax0, zrelax1, zrelax2 = opts.zrelax
+    # merge child supernode s into s+1 when s+1 is its parent in the
+    # supernodal etree; track explicit zeros introduced
+    nsuper = len(super_) - 1
+    merge_parent = np.arange(nsuper, dtype=INDEX)  # union-find
+    snsize = np.diff(super_).astype(np.int64)
+    # zeros[s]: explicit zeros already inside merged supernode s
+    zeros = np.zeros(nsuper, dtype=np.float64)
+    # colcount of first/last column give the panel extents
+    first_cc = cc[super_[:-1]]          # rows in the first column's pattern
+    last_col = super_[1:] - 1
+    last_cc = cc[last_col]
+
+    def find(s):
+        while merge_parent[s] != s:
+            merge_parent[s] = merge_parent[merge_parent[s]]
+            s = merge_parent[s]
+        return s
+
+    # supernodal parent: supernode of parent[last column]
+    col_sn = np.empty(n, dtype=INDEX)
+    for s in range(nsuper):
+        col_sn[super_[s]:super_[s + 1]] = s
+
+    # iterate children in reverse order (like the reference's single pass
+    # over adjacent pairs, repeated until no merge applies)
+    changed = True
+    while changed:
+        changed = False
+        for s in range(nsuper - 1, -1, -1):
+            rs = find(s)
+            last = int(super_[rs] + snsize[rs] - 1)
+            par_col = int(parent[last])
+            if par_col == -1:
+                continue
+            rp = find(int(col_sn[par_col]))
+            if rp == rs:
+                continue
+            # only merge child into parent when columns are contiguous
+            if int(super_[rs] + snsize[rs]) != int(super_[rp]):
+                continue
+            ns0, ns1 = int(snsize[rs]), int(snsize[rp])
+            ns = ns0 + ns1
+            # explicit zeros created by the merge (reference formula,
+            # cholmod_super_symbolic.c:488-560): each of the child's ns0
+            # columns grows to the merged panel height; lnz0/lnz1 = panel
+            # heights (colcount of the first column) of child/parent
+            lnz0 = int(first_cc[rs])   # child panel height
+            lnz1 = int(first_cc[rp])   # parent panel height
+            newzeros = ns0 * (lnz1 + ns0 - lnz0)
+            totzeros = zeros[rs] + zeros[rp] + newzeros
+            merged_rows = lnz1 + ns0
+            totsize = ns * (ns + 1) / 2.0 + ns * (merged_rows - ns)
+            z = totzeros / max(totsize, 1.0)
+            ok = (ns <= nrelax0 or newzeros == 0
+                  or (ns <= nrelax1 and z < zrelax0)
+                  or (ns <= nrelax2 and z < zrelax1)
+                  or (z < zrelax2))
+            if ok:
+                merge_parent[rs] = rp
+                super_[rp] = super_[rs]          # parent absorbs child cols
+                snsize[rp] = ns
+                first_cc[rp] = merged_rows       # merged panel height
+                zeros[rp] = totzeros
+                changed = True
+
+    # rebuild supernode list from merged union-find
+    reps = sorted({find(s) for s in range(nsuper)}, key=lambda s: int(super_[s]))
+    starts = [int(super_[s]) for s in reps]
+    super_ = np.array(starts + [n], dtype=INDEX)
+    nsuper = len(super_) - 1
+    col_to_super = np.empty(n, dtype=INDEX)
+    for s in range(nsuper):
+        col_to_super[super_[s]:super_[s + 1]] = s
+
+    # --- supernodal row structure ----------------------------------------
+    # rows(s) = union over cols j in s of pattern(L[:,j]), computed
+    # supernode-relationally: rows(s) = A-pattern of s's cols (>= first col)
+    #   ∪ (rows(c) \ cols(c)) for children c, restricted to >= first col
+    sn_parent = np.full(nsuper, -1, dtype=INDEX)
+    rows_list: list[np.ndarray] = [None] * nsuper
+    children: list[list[int]] = [[] for _ in range(nsuper)]
+    # A-pattern per supernode (rows >= j1 across its columns, from lower
+    # triangle of PAP' = transpose view of upper storage)
+    Pl = P.transpose()  # lower triangle (stype flips; pattern only)
+    for s in range(nsuper):
+        j1, j2 = int(super_[s]), int(super_[s + 1])
+        pats = [np.arange(j1, j2, dtype=INDEX)]
+        lo, hi = int(Pl.indptr[j1]), int(Pl.indptr[j2])
+        arows = Pl.indices[lo:hi]
+        pats.append(arows[arows >= j2])
+        for c in children[s]:
+            rc = rows_list[c]
+            pats.append(rc[rc >= j2])
+        rows = np.unique(np.concatenate(pats))
+        rows_list[s] = rows
+        # supernodal parent = supernode of first row beyond our columns
+        beyond = rows[rows >= j2]
+        if len(beyond):
+            sn_parent[s] = col_to_super[beyond[0]]
+            children[int(sn_parent[s])].append(s)
+
+    sn_rowptr = np.zeros(nsuper + 1, dtype=INDEX)
+    np.cumsum([len(r) for r in rows_list], out=sn_rowptr[1:])
+    sn_rows = np.concatenate(rows_list) if nsuper else np.empty(0, dtype=INDEX)
+
+    # --- packed panel layout ----------------------------------------------
+    panel_off = np.zeros(nsuper + 1, dtype=INDEX)
+    sizes = [(int(sn_rowptr[s + 1] - sn_rowptr[s]),
+              int(super_[s + 1] - super_[s])) for s in range(nsuper)]
+    np.cumsum([m * k for (m, k) in sizes], out=panel_off[1:])
+    total = int(panel_off[-1])
+
+    # --- level schedule (leaves first) ------------------------------------
+    depth = np.zeros(nsuper, dtype=INDEX)
+    # depth from root: parents have larger indices (postordered), so iterate
+    # descending — each parent's depth is final before its children need it
+    for s in range(nsuper - 1, -1, -1):
+        p = int(sn_parent[s])
+        depth[s] = 0 if p == -1 else depth[p] + 1
+    maxd = int(depth.max()) if nsuper else 0
+    levels = [np.where(depth == d)[0].astype(INDEX)
+              for d in range(maxd, -1, -1)]
+
+    # --- A scatter map -----------------------------------------------------
+    # tril(PAP') entry (i, j): panel s = col_to_super[j], flat =
+    # panel_off[s] + local_row(i) * ns + (j - j1)
+    PL = U.symperm(sym.perm, values=False).transpose()  # lower, pattern only
+    PL.sort_indices()
+    nz = PL.nnz
+    cols = np.repeat(np.arange(n, dtype=INDEX), np.diff(PL.indptr))
+    rows = PL.indices
+    s_of = col_to_super[cols]
+    ns_of = (super_[s_of + 1] - super_[s_of])
+    j1_of = super_[s_of]
+    # local row index: position of `rows` within rows_of(s) via searchsorted
+    local = np.empty(nz, dtype=INDEX)
+    for s in range(nsuper):
+        mask = s_of == s
+        if not mask.any():
+            continue
+        r = rows_list[s]
+        local[mask] = np.searchsorted(r, rows[mask])
+    a_dst = panel_off[s_of] + local * ns_of + (cols - j1_of)
+    # source: the lower-pattern entry order corresponds to PL value order —
+    # numeric phase recomputes values in this same layout
+    a_src = np.arange(nz, dtype=INDEX)
+
+    return SuperSymbolic(
+        n=n, nsuper=nsuper, super=super_, col_to_super=col_to_super,
+        sn_rowptr=sn_rowptr, sn_rows=sn_rows, panel_off=panel_off,
+        total=total, sn_parent=sn_parent, levels=levels,
+        lnz_dense=total,
+        a_scatter_dst=a_dst.astype(INDEX), a_scatter_src=a_src)

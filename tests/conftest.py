@@ -8,13 +8,17 @@ Env vars must be set before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell presets axon (TPU); tests run on the virtual CPU mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+# The axon site hook (PYTHONPATH=/root/.axon_site) forces
+# jax_platforms="axon,cpu" regardless of JAX_PLATFORMS; override it so tests
+# run on the virtual CPU mesh, never over the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
