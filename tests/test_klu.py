@@ -1,0 +1,133 @@
+"""KLU-class circuit LU tests (reference test model: KLU/Tcov klutest.c +
+Demo kludemo diffs)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from suitesparse_tpu.cholesky import residual_norm
+from suitesparse_tpu.core.common import default_common
+from suitesparse_tpu.core.sparse import SparseCSC
+from suitesparse_tpu.core.status import SparseError, Status
+from suitesparse_tpu.io import generators
+from suitesparse_tpu.lu import (klu_analyze, klu_condest, klu_factor,
+                                klu_rcond, klu_refactor, klu_rgrowth,
+                                klu_solve)
+
+
+def _mats():
+    out = [("circuit300", generators.circuit_like(300, seed=3)),
+           ("unsym200", generators.random_unsym(200, 0.02, seed=4))]
+    import os
+    f = "/root/reference/KLU/Matrix/impcol_a.mtx"
+    if os.path.exists(f):
+        from suitesparse_tpu.io import mmread
+        out.append(("impcol_a", mmread(f)))
+    return out
+
+
+class TestKLU:
+    @pytest.mark.parametrize("name,A", _mats())
+    def test_factor_solve_residual(self, name, A):
+        cm = default_common()
+        sym = klu_analyze(A, cm)
+        num = klu_factor(A, sym, cm)
+        assert num.ok
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(A.ncol)
+        x = klu_solve(num, b)
+        assert residual_norm(A, x, b) < 1e-12, name
+        xt = klu_solve(num, b, transpose=True)
+        assert residual_norm(A.transpose(), xt, b) < 1e-12, name
+
+    def test_solve_matches_scipy(self):
+        A = generators.random_unsym(150, 0.03, seed=7)
+        import scipy.sparse.linalg as spla
+        b = np.random.default_rng(1).standard_normal(150)
+        x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+        num = klu_factor(A, klu_analyze(A))
+        assert np.allclose(klu_solve(num, b), x_ref, rtol=1e-8)
+
+    def test_refactor_same_pattern(self):
+        """The circuit-sim hot path: values change, pattern+pivots reused."""
+        A = generators.circuit_like(400, seed=5)
+        cm = default_common()
+        sym = klu_analyze(A, cm)
+        num = klu_factor(A, sym, cm)
+        b = np.random.default_rng(2).standard_normal(400)
+        for scale in [2.0, 0.5, 10.0]:
+            A2 = SparseCSC(A.indptr, A.indices, A.data * scale, A.shape)
+            num = klu_refactor(A2, sym, num, cm)
+            x = klu_solve(num, b)
+            assert residual_norm(A2, x, b) < 1e-12, scale
+
+    def test_refactor_perturbed_values(self):
+        A = generators.circuit_like(250, seed=6)
+        sym = klu_analyze(A)
+        num = klu_factor(A, sym)
+        rng = np.random.default_rng(3)
+        A2 = SparseCSC(A.indptr, A.indices,
+                       A.data * (1 + 0.1 * rng.standard_normal(A.nnz)),
+                       A.shape)
+        num = klu_refactor(A2, sym, num)
+        b = rng.standard_normal(250)
+        assert residual_norm(A2, klu_solve(num, b), b) < 1e-10
+
+    def test_multi_rhs(self):
+        A = generators.random_unsym(100, 0.05, seed=8)
+        num = klu_factor(A, klu_analyze(A))
+        B = np.random.default_rng(4).standard_normal((100, 3))
+        X = klu_solve(num, B)
+        assert np.abs(A.to_scipy() @ X - B).max() < 1e-10
+
+    def test_btf_off_vs_on(self):
+        A = generators.circuit_like(200, seed=9)
+        cm = default_common()
+        cm.lu.btf = False
+        num0 = klu_factor(A, klu_analyze(A, cm), cm)
+        cm2 = default_common()
+        num1 = klu_factor(A, klu_analyze(A, cm2), cm2)
+        b = np.ones(200)
+        assert residual_norm(A, klu_solve(num0, b), b) < 1e-12
+        assert residual_norm(A, klu_solve(num1, b), b) < 1e-12
+
+    def test_singular_graceful(self):
+        S = sp.lil_matrix((10, 10))
+        for i in range(9):
+            S[i, i] = 1.0
+        S[3, 7] = 2.0     # row/col 9 empty -> structurally singular
+        cm = default_common()
+        A = SparseCSC.from_scipy(S.tocsc())
+        sym = klu_analyze(A, cm)
+        assert sym.nmatch < 10
+        num = klu_factor(A, sym, cm)
+        assert cm.status == Status.SINGULAR
+        assert not num.ok and num.singular_col < 10
+
+    def test_halt_if_singular(self):
+        S = sp.identity(6).tolil()
+        S[2, 2] = 0.0
+        cm = default_common()
+        cm.lu.halt_if_singular = True
+        A = SparseCSC.from_scipy(S.tocsc())
+        with pytest.raises(SparseError):
+            klu_factor(A, klu_analyze(A, cm), cm)
+
+    def test_diagnostics(self):
+        A = generators.circuit_like(150, seed=11)
+        num = klu_factor(A, klu_analyze(A))
+        assert 0 < klu_rcond(num) <= 1
+        assert 0 < klu_rgrowth(A, num) <= 1 + 1e-12
+        D = A.to_scipy().toarray()
+        true_cond = np.linalg.cond(D, 1)
+        est = klu_condest(A, num)
+        assert est >= 0.1 * true_cond  # lower-bound style estimate
+        assert est <= 100 * true_cond
+
+    def test_scaling_modes(self):
+        A = generators.random_unsym(120, 0.04, seed=12)
+        b = np.ones(120)
+        for mode in ["none", "sum", "max"]:
+            cm = default_common()
+            cm.lu.scale = mode
+            num = klu_factor(A, klu_analyze(A, cm), cm)
+            assert residual_norm(A, klu_solve(num, b), b) < 1e-12, mode
