@@ -1,0 +1,442 @@
+"""UMFPACK-class multifrontal LU on TPU.
+
+Reference behavior targeted (UMFPACK, SURVEY.md §2 item 15, §3.2):
+3-phase symbolic/numeric/solve with auto strategy selection
+(umfpack_qsymbolic.c:1232-1247: symmetric strategy iff pattern symmetry
+>= 0.5 and nzdiag >= 0.9n), threshold partial pivoting, BLAS3 frontal
+updates (umf_blas3_update.c), and iterative refinement (umf_solve.c:194-269).
+
+TPU-first re-architecture (SURVEY.md §7.5 — NOT the reference's design):
+UMFPACK's dynamic pivot search + growable fronts are hostile to XLA's
+static shapes.  We instead:
+  1. statically pivot rows once on the host — maximum-transversal matching
+     (+ scaling) puts large entries on the diagonal (unsymmetric strategy);
+     the symmetric strategy keeps rows in place with diagonal preference;
+  2. symmetrize the pattern of B = PAQ and reuse the *supernodal Cholesky
+     machinery* (partition, panels, level schedule, static extend-add maps)
+     with an LU twist: two flat buffers (L and U^T panels share the same
+     maps by pattern symmetry);
+  3. pivot *within* each diagonal block only (restricted partial pivoting,
+     batched jax.lax.linalg.lu on the MXU) — the update C = L21 @ U12
+     is unchanged by block-local pivoting, so the static maps survive;
+  4. recover full accuracy with iterative refinement at solve time (the
+     reference's own fallback, max-steps default 2).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.common import Common, default_common
+from ..core.sparse import INDEX, SparseCSC, SYM_UPPER, invert_permutation
+from ..core.status import SparseError, Status
+from ..graph import maxtrans
+from ..cholesky.supernodal import SuperSymbolic, super_symbolic
+from ..cholesky.symbolic import Symbolic, analyze
+from ..cholesky.super_numeric import NumericPlan, build_plan
+
+
+@dataclasses.dataclass
+class UmfSymbolic:
+    """Reusable symbolic object (umfpack_*_symbolic analog)."""
+
+    n: int
+    strategy: str               # "symmetric" | "unsymmetric"
+    rowmatch: np.ndarray        # static row matching (row i of A -> position)
+    sym: Symbolic               # fill ordering etc. of the symmetrized pattern
+    ss: SuperSymbolic
+    plan: NumericPlan
+    a_scatter_L: np.ndarray     # flat dst for entries i >= j (L buffer)
+    a_scatter_U: np.ndarray     # flat dst for entries i < j  (U^T buffer)
+    a_perm_rows: np.ndarray     # final row perm: B = A[a_perm_rows, :][:, qcol]
+    a_perm_cols: np.ndarray
+    sym_ratio: float
+    nzdiag: int
+
+
+def _weighted_matching(A: SparseCSC) -> tuple[np.ndarray, int]:
+    """MC64-flavored static pivot selection: a perfect matching using only
+    *large* entries when one exists.
+
+    The reference relies on dynamic threshold partial pivoting
+    (umf_local_search.c); our static-pivot design needs large diagonal
+    entries up front.  Structural maxtrans is value-blind, so we run it on
+    progressively relaxed thresholded patterns (|a_ij| >= t * max|col j|)
+    and keep the strictest level that still yields a maximum matching —
+    every matched pivot is then within factor t of its column max, which is
+    exactly the threshold-pivoting acceptance rule applied statically.
+    """
+    if A.data is None:
+        return maxtrans(A)
+    n = A.ncol
+    colmax = np.zeros(n)
+    for j in range(n):
+        lo, hi = int(A.indptr[j]), int(A.indptr[j + 1])
+        if hi > lo:
+            colmax[j] = np.abs(A.data[lo:hi]).max()
+    col = np.repeat(np.arange(n, dtype=INDEX), np.diff(A.indptr))
+    absval = np.abs(A.data)
+    _, full_rank = maxtrans(A)
+    best = None
+    for t in (0.5, 0.1, 0.01, 0.001, 0.0):
+        keep = absval >= t * colmax[col]
+        if t == 0.0:
+            keep[:] = True
+        indptr = np.zeros(n + 1, dtype=INDEX)
+        np.add.at(indptr, col[keep] + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        sub = SparseCSC(indptr, A.indices[keep], None, A.shape)
+        m, nm = maxtrans(sub)
+        if nm == full_rank:
+            best = (m, nm)
+            break
+        best = (m, nm)
+    return best
+
+
+def umf_symbolic(A: SparseCSC, common: Optional[Common] = None) -> UmfSymbolic:
+    """Strategy selection + static row matching + symmetrized supernodal
+    analysis (umfpack_qsymbolic equivalent)."""
+    cm = common or default_common()
+    n = A.ncol
+    if A.nrow != n:
+        raise SparseError(Status.INVALID, "umf LU needs a square matrix")
+    from ..core.sparse import symmetry
+    sym_ratio, nzdiag = symmetry(A)
+    opts = cm.lu
+    if opts.strategy == "auto":
+        strategy = ("symmetric"
+                    if sym_ratio >= opts.sym_threshold
+                    and nzdiag >= opts.nzdiag_threshold * n
+                    else "unsymmetric")
+    else:
+        strategy = opts.strategy
+
+    if strategy == "symmetric":
+        rowmatch = np.arange(n, dtype=INDEX)
+    else:
+        match, nmatch = _weighted_matching(A)
+        if nmatch < n:
+            # structurally singular: complete arbitrarily (graceful; numeric
+            # phase will flag SINGULAR)
+            free = np.setdiff1d(np.arange(n, dtype=INDEX), match[match >= 0])
+            k = 0
+            for j in range(n):
+                if match[j] < 0:
+                    match[j] = free[k]
+                    k += 1
+        rowmatch = match          # column j's matched row
+    # B = A with matched rows moved onto the diagonal: B[j, :] ... we permute
+    # rows so row rowmatch[j] sits at position j
+    rperm = rowmatch              # position j <- row rowmatch[j]
+    B = A.permute(rperm, None)
+
+    # symmetrized pattern for the fill analysis
+    import scipy.sparse as sp
+    S = B.to_scipy()
+    Ssym = ((S != 0) + (S != 0).T).astype(np.float64)
+    U = sp.triu(Ssym).tocsc()
+    Asym = SparseCSC(U.indptr.astype(INDEX), U.indices.astype(INDEX),
+                     U.data, U.shape, stype=SYM_UPPER)
+    cm.cholesky.supernodal = "supernodal"
+    sym = analyze(Asym, cm)
+    ss = super_symbolic(Asym, sym, cm)
+    plan = build_plan(ss)
+
+    # full-A scatter maps: B2 = B[perm, perm] entries (i, j):
+    #   i >= j -> L buffer at s(j): off + local(i)*ns + (j - j1)
+    #   i <  j -> U^T buffer at s(i): off + local(j)*ns + (i - j1)
+    p = sym.perm
+    B2 = B.permute(p, p).sort_indices()
+    cols = np.repeat(np.arange(n, dtype=INDEX), np.diff(B2.indptr))
+    rows = B2.indices
+    rows_list = [ss.rows_of(s) for s in range(ss.nsuper)]
+    sup, off = ss.super, ss.panel_off
+
+    def _dst(rr, cc):
+        s_of = ss.col_to_super[cc]
+        ns_of = sup[s_of + 1] - sup[s_of]
+        j1_of = sup[s_of]
+        local = np.empty(len(rr), dtype=INDEX)
+        for s in np.unique(s_of):
+            m = s_of == s
+            loc = np.searchsorted(rows_list[s], rr[m])
+            # every entry must exist in the symmetric pattern
+            local[m] = loc
+        return off[s_of] + local * ns_of + (cc - j1_of)
+
+    low = rows >= cols
+    dstL = np.full(len(rows), -1, dtype=INDEX)
+    dstU = np.full(len(rows), -1, dtype=INDEX)
+    dstL[low] = _dst(rows[low], cols[low])
+    up = ~low
+    # U^T: entry (i, j), i<j stored at supernode of i, local index of j
+    dstU[up] = _dst(cols[up], rows[up])
+
+    return UmfSymbolic(n=n, strategy=strategy, rowmatch=rowmatch, sym=sym,
+                       ss=ss, plan=plan, a_scatter_L=dstL, a_scatter_U=dstU,
+                       a_perm_rows=rperm[p] if strategy != "symmetric" else p,
+                       a_perm_cols=p, sym_ratio=sym_ratio, nzdiag=nzdiag)
+
+
+# ---------------------------------------------------------------------------
+# Numeric phase: LU level steps
+# ---------------------------------------------------------------------------
+
+def _lu_level_step(Lb, Ub, bucket_data):
+    """Factor one level: batched block-LU with restricted pivoting.
+
+    Returns updated buffers and the per-bucket pivot permutations.
+    """
+    pivs = []
+    for g, pe, d in bucket_data:
+        Bsz, Mp, Np = g.shape
+        Mb = Mp - Np
+        safe = jnp.maximum(g, 0)
+        PL = jnp.where(g >= 0, Lb[safe], 0.0)
+        PU = jnp.where(g >= 0, Ub[safe], 0.0)
+        Tlow = PL[:, :Np, :]                  # lower + diag of front block
+        Tup = PU[:, :Np, :]                   # strictly-lower of U^T block
+        T = Tlow + jnp.tril(Tup, -1).transpose(0, 2, 1)
+        T = T + jax.vmap(jnp.diag)(pe.astype(Lb.dtype))
+        lu, _, perm = jax.lax.linalg.lu(T)    # P T = L U; perm: (B, Np)
+        pivs.append(perm)
+        L11 = jnp.tril(lu, -1) + jnp.eye(Np, dtype=Lb.dtype)[None]
+        U11 = jnp.triu(lu)
+        if Mb:
+            A21 = PL[:, Np:, :]               # (B, Mb, Np)
+            A12t = PU[:, Np:, :]              # (B, Mb, Np) = A12^T
+            # permute A12 rows by block pivots = permute A12^T columns
+            A12t = jnp.take_along_axis(A12t, perm[:, None, :], axis=2)
+            # L21 = A21 U11^{-1}
+            L21 = jax.lax.linalg.triangular_solve(
+                U11, A21, left_side=False, lower=False)
+            # U12 = L11^{-1} A12  => U12^T = A12^T L11^{-T}
+            U12t = jax.lax.linalg.triangular_solve(
+                L11, A12t, left_side=False, lower=True, transpose_a=True)
+            # C = L21 @ U12 : (B, Mb, Mb);  C^T = U12t @ L21^T handled below
+            C = jnp.einsum("bik,bjk->bij", L21, U12t,
+                           preferred_element_type=Lb.dtype)
+            newL = jnp.concatenate([lu, L21], axis=1)
+            newU = jnp.concatenate([jnp.zeros_like(lu), U12t], axis=1)
+            df = d.reshape(-1)
+            Lb = Lb.at[df].add(-C.reshape(-1), mode="drop")
+            Ub = Ub.at[df].add(-C.transpose(0, 2, 1).reshape(-1), mode="drop")
+        else:
+            newL = lu
+            newU = jnp.zeros_like(lu)
+        gd = jnp.where(g >= 0, g, Lb.shape[0] - 1)
+        Lb = Lb.at[gd.reshape(-1)].set(newL.reshape(-1), mode="drop")
+        Ub = Ub.at[gd.reshape(-1)].set(newU.reshape(-1), mode="drop")
+    return Lb, Ub, pivs
+
+
+@functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0, 1))
+def _lu_run_levels(Lb, Ub, level_arrays, nlevels):
+    all_pivs = []
+    for li in range(nlevels):
+        Lb, Ub, pivs = _lu_level_step(Lb, Ub, level_arrays[li])
+        all_pivs.append(tuple(pivs))
+    return Lb, Ub, tuple(all_pivs)
+
+
+@dataclasses.dataclass
+class UmfNumeric:
+    symbolic: UmfSymbolic
+    Lb: jax.Array
+    Ub: jax.Array
+    pivs: tuple                  # per level, per bucket: (B, Np) permutations
+    Rs: np.ndarray               # row scaling of original A
+    dtype: object
+    singular: bool
+
+    @property
+    def ok(self) -> bool:
+        return not self.singular
+
+
+def umf_numeric(A: SparseCSC, S: UmfSymbolic,
+                common: Optional[Common] = None, dtype=None) -> UmfNumeric:
+    cm = common or default_common()
+    cm.tic("umf_numeric")
+    if dtype is None:
+        platform = next(iter(jnp.zeros(1).devices())).platform
+        dtype = (np.float64 if platform == "cpu" and jax.config.jax_enable_x64
+                 else np.float32)
+    n = S.n
+    # row scaling (umfpack default: sum scaling, umfpack.h)
+    from .klu import _row_scale
+    Rs = _row_scale(A, cm.lu.scale)
+    import scipy.sparse as sp
+    Asc = sp.diags(1.0 / Rs) @ A.to_scipy().tocsr()
+    B2 = sp.csc_matrix(Asc)[S.a_perm_rows, :][:, S.a_perm_cols].tocsc()
+    B2.sort_indices()
+
+    vals = B2.data.astype(dtype)
+    Lb = jnp.zeros(S.plan.total + 1, dtype=dtype)
+    Ub = jnp.zeros(S.plan.total + 1, dtype=dtype)
+    okL = S.a_scatter_L >= 0
+    okU = S.a_scatter_U >= 0
+    Lb = Lb.at[jnp.asarray(S.a_scatter_L[okL])].add(jnp.asarray(vals[okL]))
+    Ub = Ub.at[jnp.asarray(S.a_scatter_U[okU])].add(jnp.asarray(vals[okU]))
+
+    level_arrays = tuple(
+        tuple((jnp.asarray(b.gather), jnp.asarray(b.padeye, dtype=dtype),
+               jnp.asarray(b.dest)) for b in lv)
+        for lv in S.plan.levels)
+    Lb, Ub, pivs = _lu_run_levels(Lb, Ub, level_arrays, len(S.plan.levels))
+    Lb.block_until_ready()
+    t = cm.toc("umf_numeric")
+    singular = bool(jnp.isnan(Lb).any() or jnp.isinf(Lb).any())
+    if not singular:
+        # zero/denormal pivot check on diag(U) (umfpack's singular warning)
+        h = np.asarray(Lb)
+        ss = S.ss
+        for s in range(ss.nsuper):
+            ms, ns = ss.panel_shape(s)
+            o = int(ss.panel_off[s])
+            d = np.diag(h[o:o + ms * ns].reshape(ms, ns)[:ns, :ns])
+            if np.any(np.abs(d) < np.finfo(np.float64).tiny):
+                singular = True
+                break
+    cm.status = Status.SINGULAR if singular else Status.OK
+    cm.info.update({"umf_numeric_time": t, "umf_strategy": S.strategy})
+    return UmfNumeric(symbolic=S, Lb=Lb, Ub=Ub, pivs=pivs, Rs=Rs,
+                      dtype=dtype, singular=singular)
+
+
+# ---------------------------------------------------------------------------
+# Solve
+# ---------------------------------------------------------------------------
+
+def _solve_arrays(S: UmfSymbolic, dtype):
+    return tuple(
+        tuple((jnp.asarray(b.gather), jnp.asarray(b.padeye, dtype=dtype),
+               jnp.asarray(b.colidx), jnp.asarray(b.rowidx)) for b in lv)
+        for lv in S.plan.levels)
+
+
+@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2,))
+def _lu_solve_impl(Lb, Ub, x, pivs, nlevels, level_arrays):
+    # forward: P_s then L11^{-1}, push into below rows
+    for li in range(nlevels):
+        for bi, (g, pe, cidx, ridx) in enumerate(level_arrays[li]):
+            Bsz, Mp, Np = g.shape
+            Mb = Mp - Np
+            perm = pivs[li][bi]
+            safe = jnp.maximum(g, 0)
+            PL = jnp.where(g >= 0, Lb[safe], 0.0)
+            lu = PL[:, :Np, :]
+            L11 = jnp.tril(lu, -1) + jax.vmap(jnp.diag)(
+                jnp.ones_like(pe))
+            xc = x[cidx]                                  # (B, Np, k)
+            xc = jnp.take_along_axis(xc, perm[:, :, None], axis=1)
+            xc = jax.lax.linalg.triangular_solve(L11, xc, left_side=True,
+                                                 lower=True,
+                                                 unit_diagonal=True)
+            x = x.at[cidx].set(xc, mode="drop")
+            if Mb:
+                L21 = PL[:, Np:, :]
+                upd = jnp.einsum("bmc,bck->bmk", L21, xc,
+                                 preferred_element_type=x.dtype)
+                x = x.at[ridx.reshape(-1)].add(
+                    -upd.reshape(-1, upd.shape[-1]), mode="drop")
+    # backward: U
+    for li in range(nlevels - 1, -1, -1):
+        for bi, (g, pe, cidx, ridx) in enumerate(level_arrays[li]):
+            Bsz, Mp, Np = g.shape
+            Mb = Mp - Np
+            safe = jnp.maximum(g, 0)
+            PL = jnp.where(g >= 0, Lb[safe], 0.0)
+            lu = PL[:, :Np, :]
+            U11 = jnp.triu(lu) + jax.vmap(jnp.diag)(pe.astype(x.dtype))
+            xc = x[cidx]
+            if Mb:
+                PU = jnp.where(g >= 0, Ub[safe], 0.0)
+                U12t = PU[:, Np:, :]
+                xr = x[ridx]
+                xc = xc - jnp.einsum("bmc,bmk->bck", U12t, xr,
+                                     preferred_element_type=x.dtype)
+            xc = jax.lax.linalg.triangular_solve(U11, xc, left_side=True,
+                                                 lower=False)
+            x = x.at[cidx].set(xc, mode="drop")
+    return x
+
+
+def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
+              refine: Optional[int] = None, A: Optional[SparseCSC] = None,
+              common: Optional[Common] = None) -> np.ndarray:
+    """umfpack_*_solve: systems A (Ax=b), At (A'x=b) with optional iterative
+    refinement (needs the original A, like UMFPACK's stored-A requirement)."""
+    cm = common or default_common()
+    S = num.symbolic
+    n = S.n
+    b = np.asarray(b, dtype=np.float64)
+    one_d = b.ndim == 1
+    bk = b.reshape(n, -1)
+    k = bk.shape[1]
+    la = _solve_arrays(S, num.dtype)
+
+    if system == "At":
+        raise NotImplementedError("transpose solve lands with the next "
+                                  "round's U-buffer gather path")
+    if system != "A":
+        raise SparseError(Status.INVALID, f"unknown system {system!r}")
+
+    def one_solve(rhs):
+        z = (rhs / num.Rs[:, None])[S.a_perm_rows, :]
+        x = jnp.zeros((n + 1, k), dtype=num.dtype)
+        x = x.at[:n, :].set(jnp.asarray(z, dtype=num.dtype))
+        x = _lu_solve_impl(num.Lb, num.Ub, x, num.pivs, len(S.plan.levels), la)
+        out = np.empty((n, k))
+        out[S.a_perm_cols, :] = np.asarray(x[:n], dtype=np.float64)
+        return out
+
+    x = one_solve(bk)
+    steps = cm.lu.refine_steps if refine is None else refine
+    if steps and A is not None:
+        Ssc = A.to_scipy()
+        anorm = A.norm(np.inf)
+        for it in range(steps):
+            r = bk - Ssc @ x
+            omega = np.abs(r).max() / max(
+                anorm * np.abs(x).max() + np.abs(bk).max(), 1e-300)
+            cm.info[f"umf_omega_{it}"] = float(omega)
+            if omega < 1e-14:
+                break
+            x = x + one_solve(r)
+    return x.reshape(-1) if one_d else x
+
+
+def umf_lunz(num: UmfNumeric) -> tuple[int, int]:
+    """umfpack_get_lunz analog: nnz estimates of L and U (dense panel counts)."""
+    t = int(num.symbolic.plan.total)
+    return t, t
+
+
+def umf_determinant(num: UmfNumeric) -> tuple[float, float]:
+    """umfpack_get_determinant: (mantissa, exponent10) of det(A)."""
+    S = num.symbolic
+    ss = S.ss
+    h = np.asarray(num.Lb)
+    logdet = 0.0
+    sign = 1.0
+    for s in range(ss.nsuper):
+        ms, ns = ss.panel_shape(s)
+        o = int(ss.panel_off[s])
+        panel = h[o:o + ms * ns].reshape(ms, ns)
+        d = np.diag(panel[:ns, :ns])
+        sign *= np.prod(np.sign(d))
+        logdet += np.sum(np.log(np.abs(d)))
+    # account for row scaling and permutation signs (sign of perms omitted:
+    # report magnitude like a common use; documented deviation)
+    logdet += np.sum(np.log(num.Rs))
+    e = np.floor(logdet / np.log(10.0))
+    m = sign * np.exp(logdet - e * np.log(10.0))
+    return float(m), float(e)
