@@ -1,0 +1,399 @@
+"""SPQR-class multifrontal sparse QR on TPU.
+
+Reference behavior targeted (SPQR, SURVEY.md §2 item 20, §3.4):
+symbolic analysis = supernodal analysis of A'A (spqr_analyze.cpp uses
+cholmod_analyze_p2); numeric = per-front dense Householder QR with child
+contribution blocks assembled in staircase form (spqr_front.cpp); rank
+detection with tol = 20*(m+n)*eps*max column 2-norm
+(SuiteSparseQR_definitions.h:28, spqr_tol.cpp); least-squares solve via
+Q'b carried through the factorization + R backsolve (SuiteSparseQR<Entry>).
+
+TPU-first re-architecture: fronts at the same elimination-tree level are
+batched into padded shape buckets and factorized with one batched
+jnp.linalg.qr per bucket (MXU); the staircase assembly (A rows with
+leftmost column in the front + children's C blocks) is precomputed as
+static scatter maps at analyze time; R is stored in the same flat packed
+panel layout as the Cholesky engine (R^T shares L's pattern on A'A).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.common import Common, default_common
+from ..core.sparse import INDEX, SparseCSC, SYM_UPPER
+from ..core.status import SparseError, Status
+from ..cholesky.supernodal import SuperSymbolic, super_symbolic, _pad_dim
+from ..cholesky.symbolic import Symbolic, analyze
+
+
+@dataclasses.dataclass
+class _QRBucket:
+    sids: np.ndarray
+    FR: int                   # padded front rows
+    FC: int                   # padded front cols
+    Np: int                   # padded pivotal column count
+    # assembly maps (flat indices into the level workspace of this bucket)
+    a_src: np.ndarray         # indices into the A-value vector
+    a_dst: np.ndarray         # -> workspace flat positions
+    c_src: np.ndarray         # indices into the C buffer
+    c_dst: np.ndarray
+    b_rows: np.ndarray        # (B, FR) original A-row id carried into front
+                              # rows (for stacking B), -1 = child/pad row
+    c_brow_src: np.ndarray    # C carried-B buffer sources (flat)
+    c_brow_dst: np.ndarray    # -> (b, front_row) flattened positions
+    # outputs
+    r_dst: np.ndarray         # (B, FC, Np): workspace R rows -> R panel flat
+    c_out_dst: np.ndarray     # (B, FR, FC): C-block rows -> C buffer flat
+    cb_out_dst: np.ndarray    # (B, FR): C-rows -> carried-B buffer row (+1-based? -1 pad)
+    colidx: np.ndarray        # (B, Np) global pivotal columns (n = pad)
+    rowidx: np.ndarray        # (B, FCmNp) global beyond cols (n = pad)
+    ns: np.ndarray            # (B,) true pivotal widths
+    fr: np.ndarray            # (B,) true front row counts
+
+
+@dataclasses.dataclass
+class QRSymbolic:
+    m: int
+    n: int
+    sym: Symbolic             # of the A'A pattern (perm = column ordering)
+    ss: SuperSymbolic
+    levels: list              # list[list[_QRBucket]]
+    total_R: int              # flat R panel storage (ss.total)
+    total_C: int              # flat C buffer size
+    c_off: np.ndarray         # per supernode offset into C buffer
+    cb_off: np.ndarray        # per supernode offset into carried-B rows
+    total_CB: int             # total carried-B rows
+    arow_of_front: list       # per supernode: A-row ids assembled there
+
+
+def qr_symbolic(A: SparseCSC, common: Optional[Common] = None) -> QRSymbolic:
+    cm = common or default_common()
+    m, n = A.shape
+    if A.stype != 0:
+        A = A.to_full_storage()
+    import scipy.sparse as sp
+
+    S = A.to_scipy().tocsc()
+    AtA = (S.T @ S).tocsc()
+    U = sp.triu(AtA).tocsc()
+    Asym = SparseCSC(U.indptr.astype(INDEX), U.indices.astype(INDEX),
+                     np.ones(U.nnz), U.shape, stype=SYM_UPPER)
+    cm.cholesky.supernodal = "supernodal"
+    sym = analyze(Asym, cm)
+    ss = super_symbolic(Asym, sym, cm)
+
+    p = sym.perm                      # column ordering
+    Ap = SparseCSC.from_scipy(S[:, p].tocsc())   # A with permuted cols
+    # leftmost column (in permuted order) of each row
+    ApT = Ap.to_scipy().tocsr()
+    leftmost = np.full(m, -1, dtype=INDEX)
+    for i in range(m):
+        lo, hi = ApT.indptr[i], ApT.indptr[i + 1]
+        if hi > lo:
+            leftmost[i] = ApT.indices[lo:hi].min()
+    rows_list = [ss.rows_of(s) for s in range(ss.nsuper)]
+    arow_of_front: list[np.ndarray] = []
+    for s in range(ss.nsuper):
+        j1, j2 = int(ss.super[s]), int(ss.super[s + 1])
+        sel = np.where((leftmost >= j1) & (leftmost < j2))[0]
+        arow_of_front.append(sel.astype(INDEX))
+
+    # bottom-up front row counts and C-block sizes
+    nsuper = ss.nsuper
+    crows = np.zeros(nsuper, dtype=INDEX)
+    frows = np.zeros(nsuper, dtype=INDEX)
+    children: list[list[int]] = [[] for _ in range(nsuper)]
+    for s in range(nsuper):
+        pnt = int(ss.sn_parent[s])
+        if pnt != -1:
+            children[pnt].append(s)
+    for s in range(nsuper):           # postorder: children first (s ascending)
+        ms, ns = ss.panel_shape(s)
+        fr = len(arow_of_front[s]) + sum(int(crows[c]) for c in children[s])
+        frows[s] = fr
+        ccols = ms - ns
+        crows[s] = max(0, min(fr - ns, ccols)) if ccols > 0 else 0
+
+    c_off = np.zeros(nsuper + 1, dtype=INDEX)
+    np.cumsum([int(crows[s]) * (ss.panel_shape(s)[0] - ss.panel_shape(s)[1])
+               for s in range(nsuper)], out=c_off[1:])
+    cb_off = np.zeros(nsuper + 1, dtype=INDEX)
+    np.cumsum(crows, out=cb_off[1:])
+
+    # buckets per level
+    Ap_csc = Ap
+    levels_out = []
+    for level in ss.levels:
+        groups: dict[tuple, list[int]] = {}
+        for s in level.tolist():
+            ms, ns = ss.panel_shape(s)
+            key = (_pad_dim(max(int(frows[s]), 1)), _pad_dim(ms), _pad_dim(ns))
+            groups.setdefault(key, []).append(s)
+        buckets = []
+        for (FR, FC, Np), sids in sorted(groups.items()):
+            B = len(sids)
+            a_src, a_dst, c_src, c_dst = [], [], [], []
+            cb_src, cb_dst = [], []
+            b_rows = np.full((B, FR), -1, dtype=INDEX)
+            r_dst = np.full((B, FC, Np), ss.total, dtype=INDEX)
+            c_out_dst = np.full((B, FR, FC), int(c_off[-1]), dtype=INDEX)
+            cb_out_dst = np.full((B, FR), int(cb_off[-1]), dtype=INDEX)
+            colidx = np.full((B, Np), n, dtype=INDEX)
+            rowidx = np.full((B, FC), n, dtype=INDEX)
+            ns_arr = np.zeros(B, dtype=INDEX)
+            fr_arr = np.zeros(B, dtype=INDEX)
+            for b, s in enumerate(sids):
+                ms, ns = ss.panel_shape(s)
+                j1 = int(ss.super[s])
+                rows_s = rows_list[s]
+                ns_arr[b] = ns
+                fr_arr[b] = int(frows[s])
+                colidx[b, :ns] = j1 + np.arange(ns)
+                beyond = rows_s[ns:]
+                rowidx[b, :ms - ns] = beyond
+                colpos = {int(c): k for k, c in enumerate(rows_s)}
+                base = b * FR * FC
+                # A rows stack first (entry maps built in the pass below)
+                for rofs, r in enumerate(arow_of_front[s]):
+                    b_rows[b, rofs] = r
+                # children C blocks
+                crofs = len(arow_of_front[s])
+                for c in children[s]:
+                    ccols_c = ss.panel_shape(c)[0] - ss.panel_shape(c)[1]
+                    rows_c_beyond = rows_list[c][ss.panel_shape(c)[1]:]
+                    colmap = np.array([colpos[int(x)] for x in rows_c_beyond],
+                                      dtype=INDEX)
+                    for rr in range(int(crows[c])):
+                        srcrow = int(c_off[c]) + rr * ccols_c
+                        dstrow = base + (crofs + rr) * FC
+                        c_src.extend(range(srcrow, srcrow + ccols_c))
+                        c_dst.extend((dstrow + colmap).tolist())
+                        cb_src.append(int(cb_off[c]) + rr)
+                        cb_dst.append(b * FR + crofs + rr)
+                    crofs += int(crows[c])
+                # R output: workspace row t (t < min(fr, ms)) col k ->
+                # R panel: Rpanel[local(k), t] at panel_off[s]
+                o = int(ss.panel_off[s])
+                for t in range(min(int(frows[s]), ms, ns)):
+                    for k in range(t, ms):
+                        r_dst[b, k, t] = o + k * ns + t
+                # C out: workspace rows ns..ns+crows, cols ns.. -> C buffer
+                ccols_s = ms - ns
+                for rr in range(int(crows[s])):
+                    for k in range(ccols_s):
+                        c_out_dst[b, ns + rr, ns + k] = (int(c_off[s])
+                                                         + rr * ccols_s + k)
+                    cb_out_dst[b, ns + rr] = int(cb_off[s]) + rr
+            # A entry maps (vectorized per bucket using the CSR)
+            for b, s in enumerate(sids):
+                rows_s = rows_list[s]
+                colpos = {int(c): k for k, c in enumerate(rows_s)}
+                base = b * FR * FC
+                for rofs, r in enumerate(arow_of_front[s]):
+                    lo, hi = int(ApT.indptr[r]), int(ApT.indptr[r + 1])
+                    for t in range(lo, hi):
+                        cpos = colpos[int(ApT.indices[t])]
+                        a_src.append(t)
+                        a_dst.append(base + rofs * FC + cpos)
+            buckets.append(_QRBucket(
+                sids=np.array(sids, dtype=INDEX), FR=FR, FC=FC, Np=Np,
+                a_src=np.array(a_src, dtype=INDEX),
+                a_dst=np.array(a_dst, dtype=INDEX),
+                c_src=np.array(c_src, dtype=INDEX),
+                c_dst=np.array(c_dst, dtype=INDEX),
+                b_rows=b_rows,
+                c_brow_src=np.array(cb_src, dtype=INDEX),
+                c_brow_dst=np.array(cb_dst, dtype=INDEX),
+                r_dst=r_dst, c_out_dst=c_out_dst, cb_out_dst=cb_out_dst,
+                colidx=colidx, rowidx=rowidx, ns=ns_arr, fr=fr_arr))
+        levels_out.append(buckets)
+    return QRSymbolic(m=m, n=n, sym=sym, ss=ss, levels=levels_out,
+                      total_R=ss.total, total_C=int(c_off[-1]),
+                      c_off=c_off, cb_off=cb_off, total_CB=int(cb_off[-1]),
+                      arow_of_front=arow_of_front)
+
+
+@dataclasses.dataclass
+class QRNumeric:
+    symbolic: QRSymbolic
+    Rbuf: jax.Array           # flat R panels (+1 trash)
+    qtb: np.ndarray           # Q'b top rows per pivotal column, (n, k)
+    rank: int
+    tol: float
+    dtype: object
+
+    @property
+    def ok(self) -> bool:
+        return self.rank == min(self.symbolic.m, self.symbolic.n)
+
+
+def qr_factorize(A: SparseCSC, S: QRSymbolic, b: Optional[np.ndarray] = None,
+                 common: Optional[Common] = None, tol: Optional[float] = None,
+                 dtype=None) -> QRNumeric:
+    """Numeric multifrontal QR; optionally carries B through to give Q'B
+    (the SPQR backslash path)."""
+    cm = common or default_common()
+    cm.tic("qr_factorize")
+    if dtype is None:
+        platform = next(iter(jnp.zeros(1).devices())).platform
+        dtype = (np.float64 if platform == "cpu" and jax.config.jax_enable_x64
+                 else np.float32)
+    m, n = S.m, S.n
+    import scipy.sparse as sp
+    Sc = A.to_scipy().tocsc()[:, S.sym.perm]
+    ApT = Sc.tocsr()
+    avals = jnp.asarray(ApT.data.astype(dtype))
+
+    # default tol = 20*(m+n)*eps*max column 2-norm (spqr_tol.cpp)
+    if tol is None:
+        tol = cm.qr.tol
+    if tol is None:
+        colnorm = np.sqrt(np.asarray(Sc.power(2).sum(axis=0)).ravel())
+        tol = 20.0 * (m + n) * np.finfo(np.dtype(dtype)).eps * max(
+            colnorm.max(initial=0.0), 1e-300)
+
+    bk = None
+    k = 1
+    if b is not None:
+        b = np.asarray(b, dtype=np.float64)
+        bk = b.reshape(m, -1)
+        k = bk.shape[1]
+
+    Rbuf = jnp.full(S.total_R + 1, 0.0, dtype=dtype)
+    Cbuf = jnp.zeros(S.total_C + 1, dtype=dtype)
+    CBbuf = jnp.zeros((S.total_CB + 1, k), dtype=dtype)
+    qtb = np.zeros((n, k))
+    rank = 0
+
+    for li, lv in enumerate(S.levels):
+        for bq in lv:
+            B = len(bq.sids)
+            W = jnp.zeros(B * bq.FR * bq.FC, dtype=dtype)
+            if len(bq.a_src):
+                W = W.at[jnp.asarray(bq.a_dst)].set(avals[jnp.asarray(bq.a_src)])
+            if len(bq.c_src):
+                W = W.at[jnp.asarray(bq.c_dst)].set(Cbuf[jnp.asarray(bq.c_src)])
+            F = W.reshape(B, bq.FR, bq.FC)
+            # carried B block
+            WB = jnp.zeros((B * bq.FR, k), dtype=dtype)
+            if bk is not None:
+                br = bq.b_rows.reshape(-1)
+                ok = br >= 0
+                WB = WB.at[jnp.where(ok)[0]].set(
+                    jnp.asarray(bk[br[ok]], dtype=dtype))
+            if len(bq.c_brow_src):
+                WB = WB.at[jnp.asarray(bq.c_brow_dst)].set(
+                    CBbuf[jnp.asarray(bq.c_brow_src)])
+            FB = WB.reshape(B, bq.FR, k)
+
+            Q, R = jnp.linalg.qr(F, mode="reduced")    # (B,FR,mn),(B,mn,FC)
+            QtB = jnp.einsum("brm,brk->bmk", Q, FB,
+                             preferred_element_type=dtype)
+            mn = R.shape[1]
+            # write R rows into panels (pad rows beyond are zero)
+            rd = bq.r_dst  # (B, FC, Np) maps (col k, row t) -> flat
+            # R[t, k] -> rd[b, k, t]
+            Rt = R.transpose(0, 2, 1)                  # (B, FC, mn)
+            npad = bq.r_dst.shape[2]
+            Rt = Rt[:, :, :npad] if mn >= npad else jnp.pad(
+                Rt, ((0, 0), (0, 0), (0, npad - mn)))
+            Rbuf = Rbuf.at[jnp.asarray(rd).reshape(-1)].set(
+                Rt.reshape(-1), mode="drop")
+            # C block + carried rows into buffers
+            cd = bq.c_out_dst                          # (B, FR, FC)
+            Rfull = jnp.zeros((B, bq.FR, bq.FC), dtype=dtype)
+            Rfull = Rfull.at[:, :mn, :].set(R)
+            Cbuf = Cbuf.at[jnp.asarray(cd).reshape(-1)].set(
+                Rfull.reshape(-1), mode="drop")
+            QtBfull = jnp.zeros((B, bq.FR, k), dtype=dtype)
+            QtBfull = QtBfull.at[:, :mn, :].set(QtB)
+            CBbuf = CBbuf.at[jnp.asarray(bq.cb_out_dst).reshape(-1)].set(
+                QtBfull.reshape(B * bq.FR, k), mode="drop")
+            # qtb top rows (host accumulate)
+            if bk is not None:
+                qtb_h = np.asarray(QtB)
+                for bi in range(B):
+                    ns_b = int(bq.ns[bi])
+                    cols = bq.colidx[bi, :ns_b]
+                    take = min(ns_b, qtb_h.shape[1])
+                    qtb[cols[:take]] = qtb_h[bi, :take, :]
+    # rank from |diag(R)|
+    h = np.asarray(Rbuf)
+    ss = S.ss
+    diag = np.zeros(n)
+    for s in range(ss.nsuper):
+        ms, ns_ = ss.panel_shape(s)
+        o = int(ss.panel_off[s])
+        pn = h[o:o + ms * ns_].reshape(ms, ns_)
+        j1 = int(ss.super[s])
+        diag[j1:j1 + ns_] = np.diag(pn[:ns_, :ns_])
+    rank = int((np.abs(diag) > tol).sum())
+    cm.status = Status.OK if rank == min(m, n) else Status.SINGULAR
+    cm.info.update({"qr_rank": rank, "qr_tol": tol,
+                    "qr_time": cm.toc("qr_factorize")})
+    return QRNumeric(symbolic=S, Rbuf=Rbuf, qtb=qtb, rank=rank, tol=tol,
+                     dtype=dtype)
+
+
+def qr_rsolve(num: QRNumeric, c: np.ndarray, dead_zero: bool = True) -> np.ndarray:
+    """x = R \\ c in the permuted column space; dead columns get x=0
+    (SPQR basic solution convention)."""
+    S = num.symbolic
+    ss = S.ss
+    n = S.n
+    h = np.asarray(num.Rbuf)
+    x = np.array(c, dtype=np.float64, copy=True)
+    one_d = x.ndim == 1
+    xk = x.reshape(n, -1)
+    for s in range(ss.nsuper - 1, -1, -1):
+        ms, ns_ = ss.panel_shape(s)
+        o = int(ss.panel_off[s])
+        pn = h[o:o + ms * ns_].reshape(ms, ns_).astype(np.float64)
+        j1 = int(ss.super[s])
+        rows_s = ss.rows_of(s)
+        beyond = rows_s[ns_:]
+        R11t = pn[:ns_, :]          # R11^T (ns x ns), lower triangular
+        R12t = pn[ns_:, :]          # R12^T ((ms-ns) x ns)
+        rhs = xk[j1:j1 + ns_]
+        if len(beyond):
+            rhs = rhs - R12t.T @ xk[beyond]
+        d = np.diag(R11t)
+        dead = np.abs(d) <= num.tol
+        # solve R11 y = rhs  (R11 = R11t.T upper triangular)
+        import scipy.linalg as sla
+        R11 = R11t.T.copy()
+        if dead.any():
+            R11[dead, :] = 0.0
+            R11[:, dead] = 0.0
+            R11[dead, dead] = 1.0
+            rhs = rhs.copy()
+            rhs[dead] = 0.0
+        y = sla.solve_triangular(R11, rhs, lower=False)
+        xk[j1:j1 + ns_] = y
+    return x.reshape(-1) if one_d else xk
+
+
+def qr_solve(A: SparseCSC, b: np.ndarray,
+             common: Optional[Common] = None,
+             tol: Optional[float] = None) -> np.ndarray:
+    """SuiteSparseQR-style least squares: min ||Ax - b||_2 (m >= n);
+    rank-deficient A gets the basic solution (dead columns zeroed)."""
+    cm = common or default_common()
+    m, n = A.shape
+    if m < n:
+        raise NotImplementedError(
+            "underdetermined min2norm (QR of A') lands next round")
+    S = qr_symbolic(A, cm)
+    num = qr_factorize(A, S, b=b, common=cm, tol=tol)
+    xq = qr_rsolve(num, num.qtb if np.asarray(b).ndim > 1
+                   else num.qtb[:, 0])
+    x = np.empty_like(np.asarray(xq, dtype=np.float64))
+    x[S.sym.perm] = xq
+    return x
