@@ -5,3 +5,4 @@ from .supernodal import SuperSymbolic, super_symbolic
 from .super_numeric import (SuperFactor, NumericPlan, build_plan,
                             factorize_super, solve_super)
 from .api import CholeskySolver, cholesky, spsolve_chol, residual_norm
+from .modify import updown, updown_solve, rowadd, rowdel

@@ -1,0 +1,272 @@
+"""Mongoose-equivalent graph partitioner: multilevel edge cut.
+
+Reference behavior targeted (Mongoose, SURVEY.md §2 item 25): multilevel
+coarsening via heavy-edge matching (Mongoose_Matching.cpp), initial guess
+cuts, and Fiduccia-Mattheyses boundary refinement with a balance
+constraint (Mongoose_ImproveFM.cpp).  The QP gradient-projection
+"waterdance" half is replaced by repeated FM passes with random restarts —
+a documented simplification; the API (edge_cut + options) matches.
+
+Host-side analysis code (runs once per pattern).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..core.sparse import INDEX, SparseCSC
+
+
+@dataclasses.dataclass
+class EdgeCutOptions:
+    """Mongoose EdgeCut_Options analog (Mongoose.hpp:45-163)."""
+
+    coarsen_limit: int = 64
+    target_split: float = 0.5
+    tolerance: float = 0.12          # allowed imbalance
+    fm_passes: int = 6
+    random_seed: int = 0
+    restarts: int = 2
+
+
+@dataclasses.dataclass
+class EdgeCutResult:
+    partition: np.ndarray            # 0/1 per vertex
+    cut_cost: float
+    imbalance: float
+
+
+def _to_adj(A: SparseCSC):
+    """Symmetric adjacency (no diagonal) with edge weights."""
+    import scipy.sparse as sp
+    S = A.to_scipy()
+    S = (abs(S) + abs(S).T)
+    S.setdiag(0)
+    S.eliminate_zeros()
+    return S.tocsr()
+
+
+def _heavy_edge_matching(G, rng):
+    """Greedy heavy-edge matching; returns coarse map cmap (n -> nc)."""
+    n = G.shape[0]
+    order = rng.permutation(n)
+    matched = np.full(n, -1, dtype=INDEX)
+    for v in order:
+        if matched[v] != -1:
+            continue
+        lo, hi = G.indptr[v], G.indptr[v + 1]
+        best, bw = -1, 0.0
+        for idx in range(lo, hi):
+            u = G.indices[idx]
+            if matched[u] == -1 and u != v and G.data[idx] > bw:
+                best, bw = u, G.data[idx]
+        if best >= 0:
+            matched[v] = best
+            matched[best] = v
+        else:
+            matched[v] = v
+    cmap = np.full(n, -1, dtype=INDEX)
+    nc = 0
+    for v in range(n):
+        if cmap[v] == -1:
+            cmap[v] = nc
+            if matched[v] != v:
+                cmap[matched[v]] = nc
+            nc += 1
+    return cmap, nc
+
+
+def _coarsen(G, vwt, cmap, nc):
+    import scipy.sparse as sp
+    n = G.shape[0]
+    coo = G.tocoo()
+    rows = cmap[coo.row]
+    cols = cmap[coo.col]
+    keep = rows != cols
+    Gc = sp.coo_matrix((coo.data[keep], (rows[keep], cols[keep])),
+                       shape=(nc, nc)).tocsr()
+    Gc.sum_duplicates()
+    vwtc = np.zeros(nc)
+    np.add.at(vwtc, cmap, vwt)
+    return Gc, vwtc
+
+
+def _initial_cut(G, vwt, target, rng):
+    """BFS region growing from a random seed to the target weight."""
+    n = G.shape[0]
+    total = vwt.sum()
+    part = np.ones(n, dtype=np.int8)
+    seed = int(rng.integers(n))
+    w = 0.0
+    from collections import deque
+    q = deque([seed])
+    seen = np.zeros(n, dtype=bool)
+    seen[seed] = True
+    order = []
+    while q and w < target * total:
+        v = q.popleft()
+        part[v] = 0
+        w += vwt[v]
+        order.append(v)
+        for u in G.indices[G.indptr[v]:G.indptr[v + 1]]:
+            if not seen[u]:
+                seen[u] = True
+                q.append(u)
+    # disconnected leftovers
+    if w < target * total:
+        for v in range(n):
+            if part[v] == 1 and w < target * total:
+                part[v] = 0
+                w += vwt[v]
+    return part
+
+
+def _fm_refine(G, vwt, part, tolerance, target, passes, rng):
+    """Boundary FM: move best-gain vertices with balance constraint,
+    keep the best state seen (simplified Mongoose_ImproveFM)."""
+    n = G.shape[0]
+    total = vwt.sum()
+    lo_w = (target - tolerance) * total
+    hi_w = (target + tolerance) * total
+
+    def cut_of(p):
+        c = 0.0
+        for v in range(n):
+            for idx in range(G.indptr[v], G.indptr[v + 1]):
+                u = G.indices[idx]
+                if u > v and p[u] != p[v]:
+                    c += G.data[idx]
+        return c
+
+    w0 = float(vwt[part == 0].sum())
+    best_part = part.copy()
+    best_cut = cut_of(part)
+    for _ in range(passes):
+        gains = np.zeros(n)
+        for v in range(n):
+            ext = int_ = 0.0
+            for idx in range(G.indptr[v], G.indptr[v + 1]):
+                u = G.indices[idx]
+                if part[u] == part[v]:
+                    int_ += G.data[idx]
+                else:
+                    ext += G.data[idx]
+            gains[v] = ext - int_
+        locked = np.zeros(n, dtype=bool)
+        cur_cut = cut_of(part)
+        improved = False
+        for _step in range(n):
+            cand = np.where(~locked)[0]
+            if not len(cand):
+                break
+            order = cand[np.argsort(-gains[cand])]
+            moved = False
+            for v in order[:32]:
+                neww0 = w0 - vwt[v] if part[v] == 0 else w0 + vwt[v]
+                if lo_w <= neww0 <= hi_w:
+                    # move v
+                    cur_cut -= gains[v]
+                    part[v] = 1 - part[v]
+                    w0 = neww0
+                    locked[v] = True
+                    for idx in range(G.indptr[v], G.indptr[v + 1]):
+                        u = G.indices[idx]
+                        if not locked[u]:
+                            # part[v] is already flipped: a neighbor now on
+                            # v's side had an external edge become internal
+                            # (gain -2w); the other side gains +2w
+                            delta = 2 * G.data[idx]
+                            gains[u] += -delta if part[u] == part[v] else delta
+                    moved = True
+                    break
+            if not moved:
+                break
+            if cur_cut < best_cut - 1e-12:
+                best_cut = cur_cut
+                best_part = part.copy()
+                improved = True
+            if gains[order[0]] <= 0 and not improved and _step > n // 4:
+                break
+        part = best_part.copy()
+        w0 = float(vwt[part == 0].sum())
+        if not improved:
+            break
+    return best_part, best_cut
+
+
+def edge_cut(A: SparseCSC, options: Optional[EdgeCutOptions] = None) -> EdgeCutResult:
+    """Mongoose edge_cut: bisect the graph of A minimizing edge cut subject
+    to balance (Mongoose.hpp:162)."""
+    opt = options or EdgeCutOptions()
+    rng = np.random.default_rng(opt.random_seed)
+    G0 = _to_adj(A)
+    n = G0.shape[0]
+    if n <= 2:
+        part = np.zeros(n, dtype=np.int8)
+        if n == 2:
+            part[1] = 1
+        return EdgeCutResult(part, 0.0, 0.0)
+
+    best = None
+    for restart in range(opt.restarts):
+        # multilevel V-cycle
+        graphs = [(G0, np.ones(n))]
+        maps = []
+        while graphs[-1][0].shape[0] > opt.coarsen_limit:
+            G, vwt = graphs[-1]
+            cmap, nc = _heavy_edge_matching(G, rng)
+            if nc >= G.shape[0] * 0.95:   # coarsening stalled
+                break
+            graphs.append(_coarsen(G, vwt, cmap, nc))
+            maps.append(cmap)
+        # initial cut at the coarsest level
+        Gc, vwtc = graphs[-1]
+        part = _initial_cut(Gc, vwtc, opt.target_split, rng)
+        part, _ = _fm_refine(Gc, vwtc, part, opt.tolerance,
+                             opt.target_split, opt.fm_passes, rng)
+        # uncoarsen + refine
+        for lvl in range(len(maps) - 1, -1, -1):
+            part = part[maps[lvl]]
+            G, vwt = graphs[lvl]
+            part, _ = _fm_refine(G, vwt, part, opt.tolerance,
+                                 opt.target_split, opt.fm_passes, rng)
+        # score
+        cut = 0.0
+        coo = G0.tocoo()
+        m = part[coo.row] != part[coo.col]
+        cut = float(coo.data[m].sum()) / 2.0
+        w0 = float((part == 0).sum()) / n
+        imb = abs(w0 - opt.target_split)
+        if best is None or cut < best.cut_cost:
+            best = EdgeCutResult(part.copy(), cut, imb)
+    return best
+
+
+def vertex_separator(A: SparseCSC, options: Optional[EdgeCutOptions] = None
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Convert an edge cut into a vertex separator (cholmod_bisect analog):
+    returns (left, right, sep) index arrays.
+
+    Separator = the smaller boundary side of the cut (a simple vertex-cover
+    approximation of the cut edges).
+    """
+    res = edge_cut(A, options)
+    part = res.partition
+    G = _to_adj(A)
+    n = G.shape[0]
+    b0, b1 = set(), set()
+    coo = G.tocoo()
+    for v, u in zip(coo.row, coo.col):
+        if part[v] != part[u]:
+            (b0 if part[v] == 0 else b1).add(int(v))
+    sep_set = b0 if len(b0) <= len(b1) else b1
+    sep = np.array(sorted(sep_set), dtype=INDEX)
+    mask = np.zeros(n, dtype=bool)
+    mask[sep] = True
+    left = np.array([v for v in range(n) if part[v] == 0 and not mask[v]],
+                    dtype=INDEX)
+    right = np.array([v for v in range(n) if part[v] == 1 and not mask[v]],
+                     dtype=INDEX)
+    return left, right, sep
