@@ -1,0 +1,387 @@
+"""GraphBLAS-lite: sparse linear algebra over semirings, TPU-first.
+
+Scope vs the reference (GraphBLAS, SURVEY.md §2 item 24): the reference
+ships ~1.29M LoC of pre-generated type x op x semiring kernels
+(Source/Generated2) with OpenMP task scheduling.  Our design replaces all
+of that with op composition over jax: any (monoid ⊕, binop ⊗) pair from
+the op catalog forms a semiring, executed as gather → ⊗ → segment-⊕
+device kernels (the saxpy3/dot families collapse into XLA-fused
+segment reductions).  Capabilities covered: mxv/vxm/mxm, eWiseAdd/
+eWiseMult, apply, select, reduce, transpose, extract, assign, build/
+extractTuples, kron, with masks and accumulators.
+
+Host containers are SparseCSC; device form is COO triples (row, col, val)
+as jax arrays — static shape per pattern, so repeated ops on one graph
+compile once (GrB programs are pattern-stable, like the reference's
+hypersparse iteration amortization).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sparse import INDEX, SparseCSC, Triplet
+from ..core.status import SparseError, Status
+
+
+# ---------------------------------------------------------------------------
+# Op catalog (GrB_BinaryOp / GrB_Monoid / GrB_Semiring equivalents)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Monoid:
+    name: str
+    op: Callable          # jnp elementwise binary
+    identity: float
+    segment_reduce: Callable  # (data, segment_ids, num_segments) -> array
+
+
+def _seg(fn_name):
+    fn = getattr(jax.ops, fn_name)
+    return lambda d, s, n: fn(d, s, num_segments=n)
+
+
+MONOIDS = {
+    "plus": Monoid("plus", jnp.add, 0.0, _seg("segment_sum")),
+    "times": Monoid("times", jnp.multiply, 1.0, _seg("segment_prod")),
+    "min": Monoid("min", jnp.minimum, np.inf, _seg("segment_min")),
+    "max": Monoid("max", jnp.maximum, -np.inf, _seg("segment_max")),
+    "any": Monoid("any", lambda a, b: b, 0.0, _seg("segment_max")),
+    "lor": Monoid("lor", jnp.logical_or, 0.0,
+                  lambda d, s, n: jax.ops.segment_max(
+                      d.astype(jnp.float32), s, num_segments=n) > 0),
+    "land": Monoid("land", jnp.logical_and, 1.0,
+                   lambda d, s, n: jax.ops.segment_min(
+                       d.astype(jnp.float32), s, num_segments=n) > 0),
+}
+
+BINOPS = {
+    "times": jnp.multiply,
+    "plus": jnp.add,
+    "minus": jnp.subtract,
+    "div": jnp.divide,
+    "first": lambda a, b: a,
+    "second": lambda a, b: b,
+    "min": jnp.minimum,
+    "max": jnp.maximum,
+    "land": lambda a, b: jnp.logical_and(a > 0, b > 0).astype(a.dtype),
+    "lor": lambda a, b: jnp.logical_or(a > 0, b > 0).astype(a.dtype),
+    "pair": lambda a, b: jnp.ones_like(a),
+    "eq": lambda a, b: (a == b).astype(a.dtype),
+    "ne": lambda a, b: (a != b).astype(a.dtype),
+    "gt": lambda a, b: (a > b).astype(a.dtype),
+    "lt": lambda a, b: (a < b).astype(a.dtype),
+}
+
+UNARYOPS = {
+    "identity": lambda x: x,
+    "ainv": jnp.negative,
+    "minv": lambda x: 1.0 / x,
+    "abs": jnp.abs,
+    "lnot": lambda x: (x == 0).astype(x.dtype),
+    "one": jnp.ones_like,
+    "sqrt": jnp.sqrt,
+    "exp": jnp.exp,
+    "log": jnp.log,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Semiring:
+    """monoid ⊕ + binop ⊗ (GrB_Semiring).  Any catalog pair composes, which
+    spans the reference's 1,553 predefined semirings (GraphBLAS.h:8825)."""
+
+    add: Monoid
+    mult: Callable
+    name: str
+
+
+def semiring(name: str) -> Semiring:
+    """'plus_times', 'min_plus', 'max_times', 'lor_land', ... any
+    '<monoid>_<binop>' pair from the catalogs."""
+    addname, _, multname = name.partition("_")
+    if addname not in MONOIDS or multname not in BINOPS:
+        raise SparseError(Status.INVALID, f"unknown semiring {name!r}")
+    return Semiring(MONOIDS[addname], BINOPS[multname], name)
+
+
+# ---------------------------------------------------------------------------
+# Device matrix form
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GrBMatrix:
+    """COO device form (+ host CSC mirror for structural ops)."""
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    shape: tuple[int, int]
+
+    @classmethod
+    def from_csc(cls, A: SparseCSC) -> "GrBMatrix":
+        t = A.to_full_storage().to_triplet() if A.stype else A.to_triplet()
+        vals = t.data if t.data is not None else np.ones(t.nnz)
+        return cls(jnp.asarray(t.row, dtype=jnp.int32),
+                   jnp.asarray(t.col, dtype=jnp.int32),
+                   jnp.asarray(vals), t.shape)
+
+    def to_csc(self) -> SparseCSC:
+        return Triplet(np.asarray(self.rows), np.asarray(self.cols),
+                       np.asarray(self.vals), self.shape).to_csc()
+
+    @property
+    def nnz(self) -> int:
+        return int(self.rows.shape[0])
+
+
+def _as_grb(A) -> GrBMatrix:
+    return A if isinstance(A, GrBMatrix) else GrBMatrix.from_csc(A)
+
+
+# ---------------------------------------------------------------------------
+# Operations
+# ---------------------------------------------------------------------------
+
+def mxv(A, x, ring: Union[str, Semiring] = "plus_times",
+        mask: Optional[np.ndarray] = None,
+        accum: Optional[str] = None, y0=None):
+    """y = A ⊕.⊗ x (GrB_mxm with a vector).  Runs as one fused
+    gather/⊗/segment-⊕ program on device."""
+    ring = semiring(ring) if isinstance(ring, str) else ring
+    G = _as_grb(A)
+    m, n = G.shape
+    xd = jnp.asarray(x)
+
+    terms = ring.mult(G.vals, xd[G.cols])
+    y = ring.add.segment_reduce(terms, G.rows, m)
+    # rows with no entries get the monoid identity -> GrB semantics: empty
+    counts = jax.ops.segment_sum(jnp.ones_like(G.rows, dtype=jnp.int32),
+                                 G.rows, num_segments=m)
+    y = jnp.where(counts > 0, y, ring.add.identity)
+    if accum is not None and y0 is not None:
+        y = BINOPS[accum](jnp.asarray(y0), y)
+    if mask is not None:
+        y = jnp.where(jnp.asarray(mask), y, 0.0 if y0 is None else jnp.asarray(y0))
+    return y
+
+
+def vxm(x, A, ring="plus_times", **kw):
+    """y' = x' ⊕.⊗ A  ==  mxv with A transposed."""
+    G = _as_grb(A)
+    GT = GrBMatrix(G.cols, G.rows, G.vals, (G.shape[1], G.shape[0]))
+    return mxv(GT, x, ring, **kw)
+
+
+def mxm(A, B, ring: Union[str, Semiring] = "plus_times",
+        mask: Optional[SparseCSC] = None):
+    """C = A ⊕.⊗ B (GrB_mxm).
+
+    plus_times runs as host Gustavson (scipy) — the reference's saxpy3
+    default; other semirings run the dot-product family on device over the
+    *structural* product pattern (computed once on host), the analog of the
+    reference's dot2/dot3 with a pattern mask (GB_AxB_meta.c policy).
+    """
+    ring = semiring(ring) if isinstance(ring, str) else ring
+    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
+    Bc = B.to_csc() if isinstance(B, GrBMatrix) else B
+    if ring.name == "plus_times" and mask is None:
+        import scipy.sparse as sp
+        C = (Ac.to_scipy() @ Bc.to_scipy()).tocsc()
+        C.sort_indices()
+        return SparseCSC(C.indptr.astype(INDEX), C.indices.astype(INDEX),
+                         C.data, C.shape)
+    # general semiring: pattern = structural product (or the mask), values
+    # by batched sparse dot products on device
+    import scipy.sparse as sp
+    SA = Ac.to_scipy().tocsr()
+    SB = Bc.to_scipy().tocsc()
+    patt = mask.to_scipy() if mask is not None else \
+        ((abs(SA) @ abs(SB)) != 0)
+    patt = sp.csc_matrix(patt)
+    rows, cols = patt.nonzero()
+    if len(rows) == 0:
+        from ..core.sparse import spzeros
+        return spzeros(Ac.shape[0], Bc.shape[1])
+    # for each output (i, j): reduce ⊗ over k in struct(A[i,:]) ∩ struct(B[:,j])
+    out = np.empty(len(rows))
+    An = SA.toarray() if max(Ac.shape) <= 2048 else None
+    if An is not None:
+        Bn = SB.toarray()
+        Ad = jnp.asarray(An)
+        Bd = jnp.asarray(Bn)
+        maskA = jnp.asarray(An != 0)
+        maskB = jnp.asarray(Bn != 0)
+        ri = jnp.asarray(rows)
+        ci = jnp.asarray(cols)
+
+        def dot(i, j):
+            both = maskA[i, :] & maskB[:, j]
+            t = ring.mult(Ad[i, :], Bd[:, j])
+            t = jnp.where(both, t, ring.add.identity)
+            red = {"plus": jnp.sum, "min": jnp.min, "max": jnp.max,
+                   "times": jnp.prod}.get(ring.add.name, jnp.sum)
+            return red(t)
+
+        out = np.asarray(jax.vmap(dot)(ri, ci))
+    else:
+        for t, (i, j) in enumerate(zip(rows, cols)):
+            ka = SA.indices[SA.indptr[i]:SA.indptr[i + 1]]
+            av = SA.data[SA.indptr[i]:SA.indptr[i + 1]]
+            kb = SB.indices[SB.indptr[j]:SB.indptr[j + 1]]
+            bv = SB.data[SB.indptr[j]:SB.indptr[j + 1]]
+            common, ia, ib = np.intersect1d(ka, kb, return_indices=True)
+            if not len(common):
+                out[t] = ring.add.identity
+                continue
+            vals = np.asarray(ring.mult(jnp.asarray(av[ia]), jnp.asarray(bv[ib])))
+            red = {"plus": np.sum, "min": np.min, "max": np.max,
+                   "times": np.prod}.get(ring.add.name, np.sum)
+            out[t] = red(vals)
+    return Triplet(rows.astype(INDEX), cols.astype(INDEX), out,
+                   (Ac.shape[0], Bc.shape[1])).to_csc()
+
+
+def ewise_add(A, B, op: str = "plus") -> SparseCSC:
+    """GrB_eWiseAdd: set-union combine."""
+    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
+    Bc = B.to_csc() if isinstance(B, GrBMatrix) else B
+    fn = BINOPS[op]
+    import scipy.sparse as sp
+    SA, SB = Ac.to_scipy().tocsc(), Bc.to_scipy().tocsc()
+    pat = ((SA != 0) + (SB != 0)).tocsc()
+    rows, cols = pat.nonzero()
+    if len(rows) == 0:
+        from ..core.sparse import spzeros
+        return spzeros(*Ac.shape)
+    a = np.asarray(SA[rows, cols]).ravel()
+    b = np.asarray(SB[rows, cols]).ravel()
+    ina = np.asarray((SA != 0)[rows, cols]).ravel()
+    inb = np.asarray((SB != 0)[rows, cols]).ravel()
+    vals = np.where(ina & inb, np.asarray(fn(jnp.asarray(a), jnp.asarray(b))),
+                    np.where(ina, a, b))
+    return Triplet(rows.astype(INDEX), cols.astype(INDEX), vals, Ac.shape).to_csc()
+
+
+def ewise_mult(A, B, op: str = "times") -> SparseCSC:
+    """GrB_eWiseMult: set-intersection combine."""
+    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
+    Bc = B.to_csc() if isinstance(B, GrBMatrix) else B
+    fn = BINOPS[op]
+    SA, SB = Ac.to_scipy().tocsc(), Bc.to_scipy().tocsc()
+    pat = ((SA != 0).multiply(SB != 0)).tocsc()
+    rows, cols = pat.nonzero()
+    if len(rows) == 0:
+        from ..core.sparse import spzeros
+        return spzeros(*Ac.shape)
+    a = np.asarray(SA[rows, cols]).ravel()
+    b = np.asarray(SB[rows, cols]).ravel()
+    vals = np.asarray(fn(jnp.asarray(a), jnp.asarray(b)))
+    return Triplet(rows.astype(INDEX), cols.astype(INDEX), vals, Ac.shape).to_csc()
+
+
+def apply(A, op: Union[str, Callable]) -> SparseCSC:
+    """GrB_apply: elementwise unary op on stored values."""
+    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
+    fn = UNARYOPS[op] if isinstance(op, str) else op
+    out = Ac.copy()
+    out.data = np.asarray(fn(jnp.asarray(out.data)))
+    return out
+
+
+def select(A, pred: Union[str, Callable], thunk: float = 0.0) -> SparseCSC:
+    """GrB_select: keep entries satisfying a predicate.  Named predicates:
+    tril, triu, diag, offdiag, nonzero, gt, lt, ge, le, eq, ne."""
+    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
+    t = Ac.to_triplet()
+    v = t.data if t.data is not None else np.ones(t.nnz)
+    named = {
+        "tril": lambda: t.row >= t.col + thunk if thunk else t.row >= t.col,
+        "triu": lambda: t.row <= t.col,
+        "diag": lambda: t.row == t.col,
+        "offdiag": lambda: t.row != t.col,
+        "nonzero": lambda: v != 0,
+        "gt": lambda: v > thunk,
+        "ge": lambda: v >= thunk,
+        "lt": lambda: v < thunk,
+        "le": lambda: v <= thunk,
+        "eq": lambda: v == thunk,
+        "ne": lambda: v != thunk,
+    }
+    keep = named[pred]() if isinstance(pred, str) else pred(t.row, t.col, v)
+    return Triplet(t.row[keep], t.col[keep],
+                   None if t.data is None else t.data[keep], t.shape).to_csc()
+
+
+def reduce_rows(A, monoid: str = "plus"):
+    """GrB_reduce to a vector (row-wise ⊕)."""
+    G = _as_grb(A)
+    mon = MONOIDS[monoid]
+    out = mon.segment_reduce(G.vals, G.rows, G.shape[0])
+    counts = jax.ops.segment_sum(jnp.ones_like(G.rows, dtype=jnp.int32),
+                                 G.rows, num_segments=G.shape[0])
+    return jnp.where(counts > 0, out, mon.identity)
+
+
+def reduce_scalar(A, monoid: str = "plus"):
+    """GrB_reduce to a scalar."""
+    G = _as_grb(A)
+    mon = MONOIDS[monoid]
+    red = {"plus": jnp.sum, "min": jnp.min, "max": jnp.max,
+           "times": jnp.prod}.get(mon.name, jnp.sum)
+    return red(G.vals) if G.nnz else jnp.asarray(mon.identity)
+
+
+def transpose(A) -> SparseCSC:
+    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
+    return Ac.transpose()
+
+
+def kron(A, B, op: str = "times") -> SparseCSC:
+    """GrB_kronecker."""
+    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
+    Bc = B.to_csc() if isinstance(B, GrBMatrix) else B
+    ta, tb = Ac.to_triplet(), Bc.to_triplet()
+    mb, nb = Bc.shape
+    rows = (ta.row[:, None] * mb + tb.row[None, :]).ravel()
+    cols = (ta.col[:, None] * nb + tb.col[None, :]).ravel()
+    fn = BINOPS[op]
+    vals = np.asarray(fn(jnp.asarray(np.repeat(ta.data, tb.nnz)),
+                         jnp.asarray(np.tile(tb.data, ta.nnz))))
+    return Triplet(rows, cols, vals,
+                   (Ac.shape[0] * mb, Ac.shape[1] * nb)).to_csc()
+
+
+def build(rows, cols, vals, shape, dup: str = "plus") -> SparseCSC:
+    """GrB_Matrix_build (dup op applied to duplicates; 'plus' default)."""
+    if dup != "plus":
+        raise SparseError(Status.NOT_AVAILABLE, "only dup='plus' for now")
+    return Triplet(np.asarray(rows), np.asarray(cols), np.asarray(vals),
+                   shape).to_csc()
+
+
+def extract_tuples(A) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """GrB_Matrix_extractTuples."""
+    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
+    t = Ac.to_triplet()
+    return t.row, t.col, t.data
+
+
+def extract(A, rows, cols) -> SparseCSC:
+    """GrB_extract: C = A(rows, cols)."""
+    from ..core.sparse import submatrix
+    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
+    return submatrix(Ac, rows, cols)
+
+
+def assign(A, rows, cols, B) -> SparseCSC:
+    """GrB_assign: C(rows, cols) = B."""
+    Ac = (A.to_csc() if isinstance(A, GrBMatrix) else A).to_scipy().tolil()
+    Bc = (B.to_csc() if isinstance(B, GrBMatrix) else B).to_scipy()
+    Ac[np.ix_(np.asarray(rows), np.asarray(cols))] = Bc
+    return SparseCSC.from_scipy(Ac.tocsc())

@@ -1,0 +1,2 @@
+from .factorize import Factorize, backslash
+from . import csparse, ldl

@@ -1,0 +1,180 @@
+"""GraphBLAS-lite tests — oracle = dense numpy (the reference's
+MATLAB-oracle pattern, GraphBLAS/Test, SURVEY.md §4.3)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from suitesparse_tpu.core.sparse import SparseCSC
+from suitesparse_tpu.graphblas import (apply, bfs_levels, ewise_add,
+                                       ewise_mult, kron, mxm, mxv, pagerank,
+                                       reduce_rows, reduce_scalar, select,
+                                       semiring, triangle_count, vxm)
+
+
+def _rand(m, n, d=0.15, seed=0):
+    return sp.random(m, n, density=d,
+                     random_state=np.random.default_rng(seed), format="csc")
+
+
+class TestSemiringOps:
+    def test_mxv_plus_times(self):
+        S = _rand(25, 25)
+        A = SparseCSC.from_scipy(S)
+        x = np.random.default_rng(1).standard_normal(25)
+        assert np.allclose(np.asarray(mxv(A, x)), S.toarray() @ x)
+
+    def test_mxv_min_plus(self):
+        S = _rand(20, 20, seed=2)
+        A = SparseCSC.from_scipy(S)
+        x = np.random.default_rng(2).standard_normal(20)
+        D = S.toarray()
+        got = np.asarray(mxv(A, x, "min_plus"))
+        for i in range(20):
+            nz = D[i] != 0
+            if nz.any():
+                assert got[i] == pytest.approx((D[i, nz] + x[nz]).min())
+
+    def test_mxv_max_times_and_lor_land(self):
+        S = _rand(15, 15, seed=3)
+        A = SparseCSC.from_scipy(S)
+        x = np.abs(np.random.default_rng(3).standard_normal(15)) + 0.1
+        D = S.toarray()
+        got = np.asarray(mxv(A, x, "max_times"))
+        for i in range(15):
+            nz = D[i] != 0
+            if nz.any():
+                assert got[i] == pytest.approx((D[i, nz] * x[nz]).max())
+        gb = np.asarray(mxv(A, (x > 0).astype(np.float32), "lor_land"))
+        for i in range(15):
+            assert bool(gb[i]) == bool((D[i] != 0).any())
+
+    def test_mxm_plus_times_vs_scipy(self):
+        SA, SB = _rand(20, 15, seed=4), _rand(15, 10, seed=5)
+        C = mxm(SparseCSC.from_scipy(SA), SparseCSC.from_scipy(SB))
+        assert np.allclose(C.to_scipy().toarray(), (SA @ SB).toarray())
+
+    def test_mxm_min_plus(self):
+        SA, SB = _rand(12, 12, seed=6), _rand(12, 12, seed=7)
+        C = mxm(SparseCSC.from_scipy(SA), SparseCSC.from_scipy(SB), "min_plus")
+        DA, DB = SA.toarray(), SB.toarray()
+        D = C.to_scipy().toarray()
+        for i in range(12):
+            for j in range(12):
+                ks = (DA[i] != 0) & (DB[:, j] != 0)
+                if ks.any():
+                    assert D[i, j] == pytest.approx((DA[i, ks] + DB[ks, j]).min())
+
+    def test_ewise_and_apply_and_select(self):
+        SA, SB = _rand(18, 18, seed=8), _rand(18, 18, seed=9)
+        A, B = SparseCSC.from_scipy(SA), SparseCSC.from_scipy(SB)
+        assert np.allclose(ewise_add(A, B).to_scipy().toarray(),
+                           (SA + SB).toarray())
+        assert np.allclose(ewise_mult(A, B).to_scipy().toarray(),
+                           SA.toarray() * SB.toarray())
+        assert np.allclose(apply(A, "abs").to_scipy().toarray(),
+                           np.abs(SA.toarray()))
+        assert np.allclose(select(A, "tril").to_scipy().toarray(),
+                           np.tril(SA.toarray()))
+
+    def test_reduce(self):
+        S = _rand(14, 14, seed=10)
+        A = SparseCSC.from_scipy(S)
+        assert np.allclose(np.asarray(reduce_rows(A)), S.toarray().sum(1))
+        assert float(reduce_scalar(A)) == pytest.approx(S.toarray().sum())
+
+    def test_kron(self):
+        SA, SB = _rand(4, 3, 0.5, 11), _rand(3, 2, 0.6, 12)
+        C = kron(SparseCSC.from_scipy(SA), SparseCSC.from_scipy(SB))
+        assert np.allclose(C.to_scipy().toarray(),
+                           np.kron(SA.toarray(), SB.toarray()))
+
+
+class TestAlgorithms:
+    def test_pagerank_power_iteration_oracle(self):
+        G = _rand(40, 40, 0.08, 13)
+        G.data[:] = 1.0
+        pr = pagerank(SparseCSC.from_scipy(G))
+        D = G.toarray()
+        outdeg = np.maximum(D.sum(1), 1)
+        W = D / outdeg[:, None]
+        r = np.full(40, 1 / 40)
+        for _ in range(300):
+            rn = 0.85 * W.T @ r + 0.15 / 40
+            rn += (1 - rn.sum()) / 40
+            r = rn
+        assert np.abs(pr - r).max() < 1e-8
+        assert pr.sum() == pytest.approx(1.0)
+
+    def test_bfs(self):
+        P = sp.diags([np.ones(9)], [1], shape=(10, 10)).tocsc()
+        lv = bfs_levels(SparseCSC.from_scipy(P), 0)
+        assert lv.tolist() == list(range(10))
+        # unreachable component
+        B = sp.block_diag([P[:5, :5], P[:5, :5]]).tocsc()
+        lv2 = bfs_levels(SparseCSC.from_scipy(sp.csc_matrix(B)), 0)
+        assert (lv2[5:] == -1).all()
+
+    def test_triangles(self):
+        K4 = sp.csc_matrix(np.ones((4, 4)) - np.eye(4))
+        assert triangle_count(SparseCSC.from_scipy(K4)) == 4
+        P = sp.diags([np.ones(5)], [1], shape=(6, 6)).tocsc()
+        Psym = sp.csc_matrix(P + P.T)
+        assert triangle_count(SparseCSC.from_scipy(Psym)) == 0
+
+
+class TestModels:
+    def test_backslash_auto_selection(self):
+        from suitesparse_tpu.models import Factorize, backslash
+        from suitesparse_tpu.io import generators
+        # SPD -> cholesky
+        A = generators.random_spd(40, 0.1, seed=1)
+        F = Factorize(A)
+        assert F.kind == "cholesky"
+        b = np.ones(40)
+        assert np.abs(A.to_scipy() @ F.solve(b) - b).max() < 1e-8
+        # unsymmetric -> lu
+        B = generators.random_unsym(40, 0.1, seed=2)
+        F2 = Factorize(B)
+        assert F2.kind == "lu"
+        assert np.abs(B.to_scipy() @ F2.solve(b) - b).max() < 1e-8
+        # rectangular -> qr
+        S = _rand(30, 20, 0.3, 3)
+        S = S + sp.csc_matrix((np.ones(20), (range(20), range(20))), shape=(30, 20))
+        C = SparseCSC.from_scipy(S.tocsc())
+        F3 = Factorize(C)
+        assert F3.kind == "qr"
+        x = backslash(C, np.ones(30))
+        assert len(x) == 20
+
+    def test_csparse_layer(self):
+        from suitesparse_tpu.models import csparse as cs
+        from suitesparse_tpu.io import generators
+        A = generators.random_unsym(30, 0.1, seed=4)
+        b = np.ones(30)
+        x = cs.cs_lusol(A, b)
+        assert np.abs(A.to_scipy() @ x - b).max() < 1e-10
+        Aspd = generators.random_spd(30, 0.1, seed=5)
+        x2 = cs.cs_cholsol(Aspd, b)
+        assert np.abs(Aspd.to_scipy() @ x2 - b).max() < 1e-8
+        # triangular solves vs scipy
+        L = sp.tril(_rand(12, 12, 0.4, 6) + 2 * sp.identity(12)).tocsc()
+        Ls = SparseCSC.from_scipy(L)
+        y = cs.cs_lsolve(Ls, b[:12])
+        import scipy.linalg as sla
+        assert np.allclose(y, sla.solve_triangular(L.toarray(), b[:12], lower=True))
+        yt = cs.cs_ltsolve(Ls, b[:12])
+        assert np.allclose(yt, sla.solve_triangular(L.toarray().T, b[:12]))
+
+    def test_ldl_layer(self):
+        from suitesparse_tpu.models import ldl
+        from suitesparse_tpu.io import generators
+        A = generators.random_spd(25, 0.15, seed=7)
+        sym = ldl.ldl_symbolic(A)
+        f = ldl.ldl_numeric(A, sym)
+        b = np.arange(25.0)
+        pb = ldl.ldl_perm(f.perm, b)
+        x = ldl.ldl_ltsolve(f, ldl.ldl_dsolve(f, ldl.ldl_lsolve(f, pb)))
+        xout = ldl.ldl_permt(f.perm, x)
+        assert np.abs(A.to_scipy() @ xout - b).max() < 1e-10
+        assert ldl.ldl_valid_perm(25, f.perm)
+        assert ldl.ldl_valid_matrix(A)
