@@ -6,3 +6,4 @@ from .super_numeric import (SuperFactor, NumericPlan, build_plan,
                             factorize_super, solve_super)
 from .api import CholeskySolver, cholesky, spsolve_chol, residual_norm
 from .modify import updown, updown_solve, rowadd, rowdel
+from .extra import spsolve, solve2, resymbol, lsolve_pattern, row_subtree

@@ -1,0 +1,3 @@
+from .serialize import (save_sparse, load_sparse, save_factor, load_factor,
+                        save_super_factor, load_super_factor, save_klu, load_klu)
+from .native import has_native, get_lib
