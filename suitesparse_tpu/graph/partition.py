@@ -123,73 +123,78 @@ def _initial_cut(G, vwt, target, rng):
     return part
 
 
+def _cut_of(G, part):
+    """Vectorized cut weight."""
+    coo = G.tocoo()
+    m = part[coo.row] != part[coo.col]
+    return float(coo.data[m].sum()) / 2.0
+
+
 def _fm_refine(G, vwt, part, tolerance, target, passes, rng):
-    """Boundary FM: move best-gain vertices with balance constraint,
-    keep the best state seen (simplified Mongoose_ImproveFM)."""
+    """Fiduccia-Mattheyses boundary refinement: classic single-move passes
+    with a lazy max-heap of gains, balance constraint, best-prefix rollback
+    (Mongoose_ImproveFM equivalent)."""
+    import heapq
+
     n = G.shape[0]
     total = vwt.sum()
     lo_w = (target - tolerance) * total
     hi_w = (target + tolerance) * total
+    indptr, indices, data = G.indptr, G.indices, G.data
 
-    def cut_of(p):
-        c = 0.0
-        for v in range(n):
-            for idx in range(G.indptr[v], G.indptr[v + 1]):
-                u = G.indices[idx]
-                if u > v and p[u] != p[v]:
-                    c += G.data[idx]
-        return c
-
-    w0 = float(vwt[part == 0].sum())
     best_part = part.copy()
-    best_cut = cut_of(part)
+    best_cut = _cut_of(G, part)
+    w0 = float(vwt[part == 0].sum())
     for _ in range(passes):
+        # vectorized gains: ext - int per vertex
+        same = part[indices] == np.repeat(part, np.diff(indptr))
+        contrib = np.where(same, -data, data)
         gains = np.zeros(n)
-        for v in range(n):
-            ext = int_ = 0.0
-            for idx in range(G.indptr[v], G.indptr[v + 1]):
-                u = G.indices[idx]
-                if part[u] == part[v]:
-                    int_ += G.data[idx]
-                else:
-                    ext += G.data[idx]
-            gains[v] = ext - int_
+        np.add.at(gains, np.repeat(np.arange(n), np.diff(indptr)), contrib)
+        stamp = np.zeros(n, dtype=np.int64)   # lazy-heap version counter
+        heap = [(-gains[v], 0, v) for v in range(n)]
+        heapq.heapify(heap)
         locked = np.zeros(n, dtype=bool)
-        cur_cut = cut_of(part)
+        cur_cut = best_cut
+        pass_best_cut = best_cut
+        pass_best_state = None
+        moves_since_best = 0
         improved = False
-        for _step in range(n):
-            cand = np.where(~locked)[0]
-            if not len(cand):
-                break
-            order = cand[np.argsort(-gains[cand])]
-            moved = False
-            for v in order[:32]:
-                neww0 = w0 - vwt[v] if part[v] == 0 else w0 + vwt[v]
-                if lo_w <= neww0 <= hi_w:
-                    # move v
-                    cur_cut -= gains[v]
-                    part[v] = 1 - part[v]
-                    w0 = neww0
-                    locked[v] = True
-                    for idx in range(G.indptr[v], G.indptr[v + 1]):
-                        u = G.indices[idx]
-                        if not locked[u]:
-                            # part[v] is already flipped: a neighbor now on
-                            # v's side had an external edge become internal
-                            # (gain -2w); the other side gains +2w
-                            delta = 2 * G.data[idx]
-                            gains[u] += -delta if part[u] == part[v] else delta
-                    moved = True
-                    break
-            if not moved:
-                break
-            if cur_cut < best_cut - 1e-12:
-                best_cut = cur_cut
-                best_part = part.copy()
+        while heap and moves_since_best < max(64, n // 8):
+            negg, ver, v = heapq.heappop(heap)
+            if locked[v] or ver != stamp[v]:
+                continue
+            neww0 = w0 - vwt[v] if part[v] == 0 else w0 + vwt[v]
+            if not (lo_w <= neww0 <= hi_w):
+                continue
+            cur_cut -= gains[v]
+            part[v] = 1 - part[v]
+            w0 = neww0
+            locked[v] = True
+            lo, hi = int(indptr[v]), int(indptr[v + 1])
+            for idx in range(lo, hi):
+                u = int(indices[idx])
+                if locked[u]:
+                    continue
+                # part[v] already flipped: neighbor now on v's side had an
+                # external edge become internal (gain -2w); other side +2w
+                delta = 2.0 * data[idx]
+                gains[u] += -delta if part[u] == part[v] else delta
+                stamp[u] += 1
+                heapq.heappush(heap, (-gains[u], stamp[u], u))
+            if cur_cut < pass_best_cut - 1e-12:
+                pass_best_cut = cur_cut
+                pass_best_state = part.copy()
+                moves_since_best = 0
                 improved = True
-            if gains[order[0]] <= 0 and not improved and _step > n // 4:
-                break
-        part = best_part.copy()
+            else:
+                moves_since_best += 1
+        if pass_best_state is not None:
+            part = pass_best_state
+            best_part = part.copy()
+            best_cut = pass_best_cut
+        else:
+            part = best_part.copy()
         w0 = float(vwt[part == 0].sum())
         if not improved:
             break

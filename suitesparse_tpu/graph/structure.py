@@ -24,6 +24,13 @@ def etree(A: SparseCSC, col: bool = False) -> np.ndarray:
     """
     n = A.ncol
     indptr, indices = A.indptr, A.indices
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "sstpu_etree"):
+        parent = np.empty(n, dtype=INDEX)
+        lib.sstpu_etree(n, A.nrow, np.ascontiguousarray(indptr),
+                        np.ascontiguousarray(indices), int(col), parent)
+        return parent
     parent = np.full(n, -1, dtype=INDEX)
     ancestor = np.full(n, -1, dtype=INDEX)
     prev = np.full(A.nrow, -1, dtype=INDEX) if col else None
@@ -53,6 +60,14 @@ def postorder(parent: np.ndarray, weights: np.ndarray | None = None) -> np.ndarr
     (reference: cholmod_postorder.c, cs_post/cs_tdfs).
     """
     n = len(parent)
+    if weights is None:
+        from ..utils.native import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "sstpu_postorder"):
+            post = np.empty(n, dtype=INDEX)
+            lib.sstpu_postorder(n, np.ascontiguousarray(parent, dtype=INDEX),
+                                post)
+            return post
     # build child lists (head/next), children pushed so iteration order is
     # by decreasing node index -> natural ordering preserved on pop
     head = np.full(n, -1, dtype=INDEX)
@@ -121,6 +136,14 @@ def col_counts(A: SparseCSC, parent: np.ndarray, post: np.ndarray) -> np.ndarray
     used as oracle; the fast Gilbert-Ng-Peyton version lives in native/.
     (reference: cholmod_rowcolcounts.c, cs_counts)."""
     n = A.ncol
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "sstpu_colcounts"):
+        counts = np.empty(n, dtype=INDEX)
+        lib.sstpu_colcounts(n, np.ascontiguousarray(A.indptr),
+                            np.ascontiguousarray(A.indices),
+                            np.ascontiguousarray(parent, dtype=INDEX), counts)
+        return counts
     counts = np.ones(n, dtype=INDEX)   # diagonal
     w = np.zeros(n, dtype=bool)
     for k in range(n):

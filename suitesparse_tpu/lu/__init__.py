@@ -3,3 +3,4 @@ from .klu import (KLUSymbolic, KLUNumeric, klu_analyze, klu_factor,
 from .multifrontal import (UmfSymbolic, UmfNumeric, umf_symbolic, umf_numeric,
                            umf_solve, umf_lunz, umf_determinant)
 from .slip import slip_backslash, slip_lu_analyze, slip_lu_factorize, slip_lu_solve
+from . import report

@@ -369,6 +369,55 @@ def _lu_solve_impl(Lb, Ub, x, pivs, nlevels, level_arrays):
     return x
 
 
+@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2,))
+def _lu_tsolve_impl(Lb, Ub, x, pivs, nlevels, level_arrays):
+    """(PAQ)' y = z: forward with U' (lower), backward with L' (upper),
+    block pivots undone last per supernode."""
+    for li in range(nlevels):
+        for bi, (g, pe, cidx, ridx) in enumerate(level_arrays[li]):
+            Bsz, Mp, Np = g.shape
+            Mb = Mp - Np
+            safe = jnp.maximum(g, 0)
+            PL = jnp.where(g >= 0, Lb[safe], 0.0)
+            lu = PL[:, :Np, :]
+            U11 = jnp.triu(lu) + jax.vmap(jnp.diag)(pe.astype(x.dtype))
+            xc = x[cidx]
+            xc = jax.lax.linalg.triangular_solve(U11, xc, left_side=True,
+                                                 lower=False, transpose_a=True)
+            x = x.at[cidx].set(xc, mode="drop")
+            if Mb:
+                PU = jnp.where(g >= 0, Ub[safe], 0.0)
+                U12t = PU[:, Np:, :]             # (B, Mb, Np) = U12'
+                upd = jnp.einsum("bmc,bck->bmk", U12t, xc,
+                                 preferred_element_type=x.dtype)
+                x = x.at[ridx.reshape(-1)].add(
+                    -upd.reshape(-1, upd.shape[-1]), mode="drop")
+    for li in range(nlevels - 1, -1, -1):
+        for bi, (g, pe, cidx, ridx) in enumerate(level_arrays[li]):
+            Bsz, Mp, Np = g.shape
+            Mb = Mp - Np
+            perm = pivs[li][bi]
+            safe = jnp.maximum(g, 0)
+            PL = jnp.where(g >= 0, Lb[safe], 0.0)
+            lu = PL[:, :Np, :]
+            L11 = jnp.tril(lu, -1) + jax.vmap(jnp.diag)(jnp.ones_like(pe))
+            xc = x[cidx]
+            if Mb:
+                L21 = PL[:, Np:, :]
+                xr = x[ridx]
+                xc = xc - jnp.einsum("bmc,bmk->bck", L21, xr,
+                                     preferred_element_type=x.dtype)
+            xc = jax.lax.linalg.triangular_solve(L11, xc, left_side=True,
+                                                 lower=True, transpose_a=True,
+                                                 unit_diagonal=True)
+            # undo block pivot: rows were permuted by perm at factor time,
+            # so scatter back through the inverse permutation
+            inv = jnp.argsort(perm, axis=1)
+            xc = jnp.take_along_axis(xc, inv[:, :, None], axis=1)
+            x = x.at[cidx].set(xc, mode="drop")
+    return x
+
+
 def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
               refine: Optional[int] = None, A: Optional[SparseCSC] = None,
               common: Optional[Common] = None) -> np.ndarray:
@@ -383,13 +432,11 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
     k = bk.shape[1]
     la = _solve_arrays(S, num.dtype)
 
-    if system == "At":
-        raise NotImplementedError("transpose solve lands with the next "
-                                  "round's U-buffer gather path")
-    if system != "A":
+    if system not in ("A", "At"):
         raise SparseError(Status.INVALID, f"unknown system {system!r}")
 
     def one_solve(rhs):
+        # A = R (PAQ-indexed S);  Ax=b  <=> S y = (b/R)[rows], x[cols] = y
         z = (rhs / num.Rs[:, None])[S.a_perm_rows, :]
         x = jnp.zeros((n + 1, k), dtype=num.dtype)
         x = x.at[:n, :].set(jnp.asarray(z, dtype=num.dtype))
@@ -398,10 +445,22 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
         out[S.a_perm_cols, :] = np.asarray(x[:n], dtype=np.float64)
         return out
 
-    x = one_solve(bk)
+    def one_tsolve(rhs):
+        # A' x = b  <=>  S' y = b[cols],  x = (y scattered to rows)/R
+        z = rhs[S.a_perm_cols, :]
+        x = jnp.zeros((n + 1, k), dtype=num.dtype)
+        x = x.at[:n, :].set(jnp.asarray(z, dtype=num.dtype))
+        x = _lu_tsolve_impl(num.Lb, num.Ub, x, num.pivs,
+                            len(S.plan.levels), la)
+        out = np.empty((n, k))
+        out[S.a_perm_rows, :] = np.asarray(x[:n], dtype=np.float64)
+        return out / num.Rs[:, None]
+
+    solve_fn = one_solve if system == "A" else one_tsolve
+    x = solve_fn(bk)
     steps = cm.lu.refine_steps if refine is None else refine
     if steps and A is not None:
-        Ssc = A.to_scipy()
+        Ssc = A.to_scipy() if system == "A" else A.to_scipy().T
         anorm = A.norm(np.inf)
         for it in range(steps):
             r = bk - Ssc @ x
@@ -410,7 +469,7 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
             cm.info[f"umf_omega_{it}"] = float(omega)
             if omega < 1e-14:
                 break
-            x = x + one_solve(r)
+            x = x + solve_fn(r)
     return x.reshape(-1) if one_d else x
 
 

@@ -69,10 +69,9 @@ def _register_optional(lib):
     c_i64 = ctypes.c_int64
     p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     for name, argtypes, restype in [
-        ("sstpu_colamd", [c_i64, c_i64, p_i64, p_i64, p_i64,
-                          ctypes.c_void_p, ctypes.c_double, ctypes.c_double], c_i64),
-        ("sstpu_etree", [c_i64, p_i64, p_i64, c_i64, p_i64], c_i64),
-        ("sstpu_colcounts", [c_i64, p_i64, p_i64, p_i64, p_i64, p_i64], c_i64),
+        ("sstpu_etree", [c_i64, c_i64, p_i64, p_i64, c_i64, p_i64], None),
+        ("sstpu_postorder", [c_i64, p_i64, p_i64], None),
+        ("sstpu_colcounts", [c_i64, p_i64, p_i64, p_i64, p_i64], None),
         ("sstpu_maxtrans", [c_i64, c_i64, p_i64, p_i64, p_i64], c_i64),
         ("sstpu_strongcomp", [c_i64, p_i64, p_i64, p_i64, p_i64], c_i64),
     ]:

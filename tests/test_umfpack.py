@@ -96,3 +96,43 @@ class TestUmf:
         num = umf_numeric(A, umf_symbolic(A, cm), cm)
         from suitesparse_tpu.core.status import Status
         assert num.singular or cm.status == Status.SINGULAR
+
+
+class TestUmfTranspose:
+    def test_transpose_solve(self):
+        A = generators.random_unsym(150, 0.03, seed=21)
+        from suitesparse_tpu.cholesky import residual_norm
+        num = umf_numeric(A, umf_symbolic(A))
+        b = np.random.default_rng(2).standard_normal(150)
+        xt = umf_solve(num, b, system="At", A=A)
+        assert residual_norm(A.transpose(), xt, b) < 1e-13
+        # cross-check vs scipy
+        import scipy.sparse.linalg as spla
+        x_ref = spla.spsolve(A.to_scipy().T.tocsc(), b)
+        assert np.allclose(xt, x_ref, rtol=1e-6, atol=1e-9)
+
+    def test_transpose_with_blocks_pivoting(self):
+        # symmetric-strategy path (no row matching) + block pivots
+        A = generators.circuit_like(180, seed=22)
+        from suitesparse_tpu.cholesky import residual_norm
+        num = umf_numeric(A, umf_symbolic(A))
+        b = np.ones(180)
+        xt = umf_solve(num, b, system="At", A=A)
+        assert residual_norm(A.transpose(), xt, b) < 1e-12
+
+    def test_report_functions(self):
+        from suitesparse_tpu.lu import report
+        from suitesparse_tpu.core.common import default_common
+        lines = []
+        cm = default_common()
+        cm.print_func = lines.append
+        A = generators.random_unsym(50, 0.08, seed=23)
+        S = umf_symbolic(A, cm)
+        num = umf_numeric(A, S, cm)
+        report.report_status(cm)
+        report.report_control(cm)
+        report.report_symbolic(S, cm)
+        report.report_numeric(num, cm)
+        report.report_info(cm)
+        assert any("umf symbolic" in l for l in lines)
+        assert any("status" in l for l in lines)
