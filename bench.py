@@ -59,20 +59,16 @@ def main():
 
     vals = _assemble_values(A, sym, ss, dtype)
     a_dst = jnp.asarray(ss.a_scatter_dst)
-    level_arrays = tuple(
-        tuple((jnp.asarray(b.gather), jnp.asarray(b.padeye, dtype=dtype),
-               jnp.asarray(b.dest)) for b in lv)
-        for lv in plan.levels)
-
-    import functools
+    level_arrays = plan.arrays(dtype)
+    meta = plan.meta
 
     @jax.jit
     def numeric(avals):
+        from suitesparse_tpu.cholesky.super_numeric import _level_step
         Lx = jnp.zeros(plan.total + 1, dtype=dtype)
         Lx = Lx.at[a_dst].add(avals)
-        from suitesparse_tpu.cholesky.super_numeric import _level_step
-        for li in range(len(plan.levels)):
-            Lx = _level_step(Lx, level_arrays[li])
+        for li in range(len(meta)):
+            Lx = _level_step(Lx, level_arrays[li], meta[li])
         return Lx
 
     av = jnp.asarray(vals)

@@ -46,7 +46,16 @@ def _pad_dim(x: int, grain: int = 8, max_pow2: int = 128) -> int:
 
 @dataclasses.dataclass
 class SuperSymbolic:
-    """Supernodal symbolic factor + all static maps for the numeric phase."""
+    """Supernodal symbolic factor + all static maps for the numeric phase.
+
+    Panel layout (the TPU-critical choice): every supernode panel is stored
+    PRE-PADDED to its shape bucket (Mp = padded rows, Np = padded cols) in
+    *normalized* form — rows 0..Np-1 hold the (ns-row) diagonal block, rows
+    Np..Mp-1 hold the below-diagonal block — and all panels of one (level,
+    bucket) group are CONTIGUOUS.  The numeric phase then reads/writes each
+    bucket with one lax.dynamic_slice instead of an arbitrary-index gather
+    (measured 50x cheaper on TPU; only the extend-add remains a scatter).
+    """
 
     n: int
     nsuper: int
@@ -54,12 +63,14 @@ class SuperSymbolic:
     col_to_super: np.ndarray   # (n,)
     sn_rowptr: np.ndarray      # (nsuper+1,) into sn_rows
     sn_rows: np.ndarray        # concatenated sorted row lists (incl. diag cols)
-    panel_off: np.ndarray      # (nsuper+1,) flat offsets; panel s is
-                               # row-major (ms, ns) at panel_off[s]
-    total: int                 # total packed panel storage (plus 1 trash slot)
+    panel_off: np.ndarray      # (nsuper,) base offset of the padded panel
+    panel_Np: np.ndarray       # (nsuper,) padded column stride
+    panel_Mp: np.ndarray       # (nsuper,) padded row count
+    total: int                 # total padded panel storage (plus 1 trash slot)
     sn_parent: np.ndarray      # supernodal etree
     levels: list[np.ndarray]   # topo schedule: levels[0] = leaves ... root last
-    lnz_dense: int             # sum ms*ns (packed storage, incl. explicit zeros)
+    level_buckets: list        # per level: list of (Np, Mb, base, sids array)
+    lnz_dense: int
 
     # static maps for numeric
     a_scatter_dst: np.ndarray  # flat positions in Lx for tril(PAP') nonzeros
@@ -72,6 +83,53 @@ class SuperSymbolic:
 
     def rows_of(self, s: int) -> np.ndarray:
         return self.sn_rows[self.sn_rowptr[s]:self.sn_rowptr[s + 1]]
+
+    def norm_local(self, s: int, local: np.ndarray) -> np.ndarray:
+        """Map local row index (0..ms) to the normalized padded row."""
+        ns = int(self.super[s + 1] - self.super[s])
+        Np = int(self.panel_Np[s])
+        local = np.asarray(local)
+        return np.where(local < ns, local, Np + (local - ns))
+
+    def flat_pos(self, s: int, local_rows: np.ndarray,
+                 rel_cols: np.ndarray) -> np.ndarray:
+        """Flat buffer position of panel entries (local row, col - j1)."""
+        return (int(self.panel_off[s])
+                + self.norm_local(s, local_rows) * int(self.panel_Np[s])
+                + np.asarray(rel_cols))
+
+
+def _assign_layout(levels, shapes):
+    """Bucket supernodes per level by padded shape and assign contiguous
+    padded panel offsets in schedule order.
+
+    shapes: list of (ms, ns) per supernode.  Returns (panel_off, panel_Np,
+    panel_Mp, total, level_buckets).
+    """
+    nsuper = len(shapes)
+    panel_off = np.zeros(nsuper, dtype=INDEX)
+    panel_Np = np.zeros(nsuper, dtype=INDEX)
+    panel_Mp = np.zeros(nsuper, dtype=INDEX)
+    level_buckets = []
+    base = 0
+    for level in levels:
+        groups: dict[tuple[int, int], list[int]] = {}
+        for s in np.asarray(level).tolist():
+            ms, ns = shapes[s]
+            mb = ms - ns
+            key = (_pad_dim(ns), _pad_dim(mb) if mb else 0)
+            groups.setdefault(key, []).append(s)
+        buckets = []
+        for (Np, Mb), sids in sorted(groups.items()):
+            bbase = base
+            for s in sids:
+                panel_off[s] = base
+                panel_Np[s] = Np
+                panel_Mp[s] = Np + Mb
+                base += (Np + Mb) * Np
+            buckets.append((Np, Mb, bbase, np.array(sids, dtype=INDEX)))
+        level_buckets.append(buckets)
+    return panel_off, panel_Np, panel_Mp, int(base), level_buckets
 
 
 def super_symbolic(A: SparseCSC, sym: Symbolic,
@@ -228,13 +286,6 @@ def super_symbolic(A: SparseCSC, sym: Symbolic,
     np.cumsum([len(r) for r in rows_list], out=sn_rowptr[1:])
     sn_rows = np.concatenate(rows_list) if nsuper else np.empty(0, dtype=INDEX)
 
-    # --- packed panel layout ----------------------------------------------
-    panel_off = np.zeros(nsuper + 1, dtype=INDEX)
-    sizes = [(int(sn_rowptr[s + 1] - sn_rowptr[s]),
-              int(super_[s + 1] - super_[s])) for s in range(nsuper)]
-    np.cumsum([m * k for (m, k) in sizes], out=panel_off[1:])
-    total = int(panel_off[-1])
-
     # --- level schedule (leaves first) ------------------------------------
     depth = np.zeros(nsuper, dtype=INDEX)
     # depth from root: parents have larger indices (postordered), so iterate
@@ -246,33 +297,36 @@ def super_symbolic(A: SparseCSC, sym: Symbolic,
     levels = [np.where(depth == d)[0].astype(INDEX)
               for d in range(maxd, -1, -1)]
 
+    # --- padded bucket-contiguous panel layout ----------------------------
+    shapes = [(int(sn_rowptr[s + 1] - sn_rowptr[s]),
+               int(super_[s + 1] - super_[s])) for s in range(nsuper)]
+    panel_off, panel_Np, panel_Mp, total, level_buckets = _assign_layout(
+        levels, shapes)
+
+    ss = SuperSymbolic(
+        n=n, nsuper=nsuper, super=super_, col_to_super=col_to_super,
+        sn_rowptr=sn_rowptr, sn_rows=sn_rows, panel_off=panel_off,
+        panel_Np=panel_Np, panel_Mp=panel_Mp,
+        total=total, sn_parent=sn_parent, levels=levels,
+        level_buckets=level_buckets, lnz_dense=total,
+        a_scatter_dst=None, a_scatter_src=None)
+
     # --- A scatter map -----------------------------------------------------
-    # tril(PAP') entry (i, j): panel s = col_to_super[j], flat =
-    # panel_off[s] + local_row(i) * ns + (j - j1)
+    # tril(PAP') entry (i, j) -> normalized padded position in panel of
+    # s = col_to_super[j]
     PL = U.symperm(sym.perm, values=False).transpose()  # lower, pattern only
     PL.sort_indices()
     nz = PL.nnz
     cols = np.repeat(np.arange(n, dtype=INDEX), np.diff(PL.indptr))
     rows = PL.indices
     s_of = col_to_super[cols]
-    ns_of = (super_[s_of + 1] - super_[s_of])
-    j1_of = super_[s_of]
-    # local row index: position of `rows` within rows_of(s) via searchsorted
-    local = np.empty(nz, dtype=INDEX)
+    a_dst = np.empty(nz, dtype=INDEX)
     for s in range(nsuper):
         mask = s_of == s
         if not mask.any():
             continue
-        r = rows_list[s]
-        local[mask] = np.searchsorted(r, rows[mask])
-    a_dst = panel_off[s_of] + local * ns_of + (cols - j1_of)
-    # source: the lower-pattern entry order corresponds to PL value order —
-    # numeric phase recomputes values in this same layout
-    a_src = np.arange(nz, dtype=INDEX)
-
-    return SuperSymbolic(
-        n=n, nsuper=nsuper, super=super_, col_to_super=col_to_super,
-        sn_rowptr=sn_rowptr, sn_rows=sn_rows, panel_off=panel_off,
-        total=total, sn_parent=sn_parent, levels=levels,
-        lnz_dense=total,
-        a_scatter_dst=a_dst.astype(INDEX), a_scatter_src=a_src)
+        local = np.searchsorted(rows_list[s], rows[mask])
+        a_dst[mask] = ss.flat_pos(s, local, cols[mask] - int(super_[s]))
+    ss.a_scatter_dst = a_dst
+    ss.a_scatter_src = np.arange(nz, dtype=INDEX)
+    return ss

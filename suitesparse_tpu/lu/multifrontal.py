@@ -157,19 +157,17 @@ def umf_symbolic(A: SparseCSC, common: Optional[Common] = None) -> UmfSymbolic:
     cols = np.repeat(np.arange(n, dtype=INDEX), np.diff(B2.indptr))
     rows = B2.indices
     rows_list = [ss.rows_of(s) for s in range(ss.nsuper)]
-    sup, off = ss.super, ss.panel_off
+    sup = ss.super
 
     def _dst(rr, cc):
+        # entry (row rr, col cc) -> padded-panel position in supernode of cc
         s_of = ss.col_to_super[cc]
-        ns_of = sup[s_of + 1] - sup[s_of]
-        j1_of = sup[s_of]
-        local = np.empty(len(rr), dtype=INDEX)
+        out = np.empty(len(rr), dtype=INDEX)
         for s in np.unique(s_of):
             m = s_of == s
             loc = np.searchsorted(rows_list[s], rr[m])
-            # every entry must exist in the symmetric pattern
-            local[m] = loc
-        return off[s_of] + local * ns_of + (cc - j1_of)
+            out[m] = ss.flat_pos(s, loc, cc[m] - int(sup[s]))
+        return out
 
     low = rows >= cols
     dstL = np.full(len(rows), -1, dtype=INDEX)
@@ -189,18 +187,17 @@ def umf_symbolic(A: SparseCSC, common: Optional[Common] = None) -> UmfSymbolic:
 # Numeric phase: LU level steps
 # ---------------------------------------------------------------------------
 
-def _lu_level_step(Lb, Ub, bucket_data):
+def _lu_level_step(Lb, Ub, bucket_arrays, bucket_meta):
     """Factor one level: batched block-LU with restricted pivoting.
 
     Returns updated buffers and the per-bucket pivot permutations.
     """
     pivs = []
-    for g, pe, d in bucket_data:
-        Bsz, Mp, Np = g.shape
-        Mb = Mp - Np
-        safe = jnp.maximum(g, 0)
-        PL = jnp.where(g >= 0, Lb[safe], 0.0)
-        PU = jnp.where(g >= 0, Ub[safe], 0.0)
+    for (pe, rmask, cmask, d), (Np, Mb, base, B) in zip(bucket_arrays,
+                                                        bucket_meta):
+        Mp = Np + Mb
+        PL = jax.lax.dynamic_slice(Lb, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
+        PU = jax.lax.dynamic_slice(Ub, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
         Tlow = PL[:, :Np, :]                  # lower + diag of front block
         Tup = PU[:, :Np, :]                   # strictly-lower of U^T block
         T = Tlow + jnp.tril(Tup, -1).transpose(0, 2, 1)
@@ -220,28 +217,29 @@ def _lu_level_step(Lb, Ub, bucket_data):
             # U12 = L11^{-1} A12  => U12^T = A12^T L11^{-T}
             U12t = jax.lax.linalg.triangular_solve(
                 L11, A12t, left_side=False, lower=True, transpose_a=True)
-            # C = L21 @ U12 : (B, Mb, Mb);  C^T = U12t @ L21^T handled below
+            # C = L21 @ U12 : (B, Mb, Mb)
             C = jnp.einsum("bik,bjk->bij", L21, U12t,
                            preferred_element_type=Lb.dtype)
             newL = jnp.concatenate([lu, L21], axis=1)
             newU = jnp.concatenate([jnp.zeros_like(lu), U12t], axis=1)
-            df = d.reshape(-1)
-            Lb = Lb.at[df].add(-C.reshape(-1), mode="drop")
-            Ub = Ub.at[df].add(-C.transpose(0, 2, 1).reshape(-1), mode="drop")
         else:
             newL = lu
             newU = jnp.zeros_like(lu)
-        gd = jnp.where(g >= 0, g, Lb.shape[0] - 1)
-        Lb = Lb.at[gd.reshape(-1)].set(newL.reshape(-1), mode="drop")
-        Ub = Ub.at[gd.reshape(-1)].set(newU.reshape(-1), mode="drop")
+        mask = rmask[:, :, None] * cmask[:, None, :]
+        Lb = jax.lax.dynamic_update_slice(Lb, (newL * mask).reshape(-1), (base,))
+        Ub = jax.lax.dynamic_update_slice(Ub, (newU * mask).reshape(-1), (base,))
+        if Mb:
+            df = d.reshape(-1)
+            Lb = Lb.at[df].add(-C.reshape(-1), mode="drop")
+            Ub = Ub.at[df].add(-C.transpose(0, 2, 1).reshape(-1), mode="drop")
     return Lb, Ub, pivs
 
 
 @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0, 1))
-def _lu_run_levels(Lb, Ub, level_arrays, nlevels):
+def _lu_run_levels(Lb, Ub, level_arrays, meta):
     all_pivs = []
-    for li in range(nlevels):
-        Lb, Ub, pivs = _lu_level_step(Lb, Ub, level_arrays[li])
+    for li in range(len(meta)):
+        Lb, Ub, pivs = _lu_level_step(Lb, Ub, level_arrays[li], meta[li])
         all_pivs.append(tuple(pivs))
     return Lb, Ub, tuple(all_pivs)
 
@@ -286,11 +284,8 @@ def umf_numeric(A: SparseCSC, S: UmfSymbolic,
     Lb = Lb.at[jnp.asarray(S.a_scatter_L[okL])].add(jnp.asarray(vals[okL]))
     Ub = Ub.at[jnp.asarray(S.a_scatter_U[okU])].add(jnp.asarray(vals[okU]))
 
-    level_arrays = tuple(
-        tuple((jnp.asarray(b.gather), jnp.asarray(b.padeye, dtype=dtype),
-               jnp.asarray(b.dest)) for b in lv)
-        for lv in S.plan.levels)
-    Lb, Ub, pivs = _lu_run_levels(Lb, Ub, level_arrays, len(S.plan.levels))
+    level_arrays = S.plan.arrays(dtype)
+    Lb, Ub, pivs = _lu_run_levels(Lb, Ub, level_arrays, S.plan.meta)
     Lb.block_until_ready()
     t = cm.toc("umf_numeric")
     singular = bool(jnp.isnan(Lb).any() or jnp.isinf(Lb).any())
@@ -300,8 +295,9 @@ def umf_numeric(A: SparseCSC, S: UmfSymbolic,
         ss = S.ss
         for s in range(ss.nsuper):
             ms, ns = ss.panel_shape(s)
+            Np, Mp = int(ss.panel_Np[s]), int(ss.panel_Mp[s])
             o = int(ss.panel_off[s])
-            d = np.diag(h[o:o + ms * ns].reshape(ms, ns)[:ns, :ns])
+            d = np.diag(h[o:o + Mp * Np].reshape(Mp, Np)[:ns, :ns])
             if np.any(np.abs(d) < np.finfo(np.float64).tiny):
                 singular = True
                 break
@@ -316,22 +312,18 @@ def umf_numeric(A: SparseCSC, S: UmfSymbolic,
 # ---------------------------------------------------------------------------
 
 def _solve_arrays(S: UmfSymbolic, dtype):
-    return tuple(
-        tuple((jnp.asarray(b.gather), jnp.asarray(b.padeye, dtype=dtype),
-               jnp.asarray(b.colidx), jnp.asarray(b.rowidx)) for b in lv)
-        for lv in S.plan.levels)
+    return S.plan.solve_arrays(dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2,))
-def _lu_solve_impl(Lb, Ub, x, pivs, nlevels, level_arrays):
+@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
+def _lu_solve_impl(Lb, Ub, x, pivs, level_arrays, meta):
     # forward: P_s then L11^{-1}, push into below rows
-    for li in range(nlevels):
-        for bi, (g, pe, cidx, ridx) in enumerate(level_arrays[li]):
-            Bsz, Mp, Np = g.shape
-            Mb = Mp - Np
+    for li in range(len(meta)):
+        for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
+                zip(level_arrays[li], meta[li])):
+            Mp = Np + Mb
             perm = pivs[li][bi]
-            safe = jnp.maximum(g, 0)
-            PL = jnp.where(g >= 0, Lb[safe], 0.0)
+            PL = jax.lax.dynamic_slice(Lb, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
             lu = PL[:, :Np, :]
             L11 = jnp.tril(lu, -1) + jax.vmap(jnp.diag)(
                 jnp.ones_like(pe))
@@ -348,17 +340,16 @@ def _lu_solve_impl(Lb, Ub, x, pivs, nlevels, level_arrays):
                 x = x.at[ridx.reshape(-1)].add(
                     -upd.reshape(-1, upd.shape[-1]), mode="drop")
     # backward: U
-    for li in range(nlevels - 1, -1, -1):
-        for bi, (g, pe, cidx, ridx) in enumerate(level_arrays[li]):
-            Bsz, Mp, Np = g.shape
-            Mb = Mp - Np
-            safe = jnp.maximum(g, 0)
-            PL = jnp.where(g >= 0, Lb[safe], 0.0)
+    for li in range(len(meta) - 1, -1, -1):
+        for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
+                zip(level_arrays[li], meta[li])):
+            Mp = Np + Mb
+            PL = jax.lax.dynamic_slice(Lb, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
             lu = PL[:, :Np, :]
             U11 = jnp.triu(lu) + jax.vmap(jnp.diag)(pe.astype(x.dtype))
             xc = x[cidx]
             if Mb:
-                PU = jnp.where(g >= 0, Ub[safe], 0.0)
+                PU = jax.lax.dynamic_slice(Ub, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
                 U12t = PU[:, Np:, :]
                 xr = x[ridx]
                 xc = xc - jnp.einsum("bmc,bmk->bck", U12t, xr,
@@ -369,16 +360,15 @@ def _lu_solve_impl(Lb, Ub, x, pivs, nlevels, level_arrays):
     return x
 
 
-@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2,))
-def _lu_tsolve_impl(Lb, Ub, x, pivs, nlevels, level_arrays):
+@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
+def _lu_tsolve_impl(Lb, Ub, x, pivs, level_arrays, meta):
     """(PAQ)' y = z: forward with U' (lower), backward with L' (upper),
     block pivots undone last per supernode."""
-    for li in range(nlevels):
-        for bi, (g, pe, cidx, ridx) in enumerate(level_arrays[li]):
-            Bsz, Mp, Np = g.shape
-            Mb = Mp - Np
-            safe = jnp.maximum(g, 0)
-            PL = jnp.where(g >= 0, Lb[safe], 0.0)
+    for li in range(len(meta)):
+        for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
+                zip(level_arrays[li], meta[li])):
+            Mp = Np + Mb
+            PL = jax.lax.dynamic_slice(Lb, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
             lu = PL[:, :Np, :]
             U11 = jnp.triu(lu) + jax.vmap(jnp.diag)(pe.astype(x.dtype))
             xc = x[cidx]
@@ -386,19 +376,18 @@ def _lu_tsolve_impl(Lb, Ub, x, pivs, nlevels, level_arrays):
                                                  lower=False, transpose_a=True)
             x = x.at[cidx].set(xc, mode="drop")
             if Mb:
-                PU = jnp.where(g >= 0, Ub[safe], 0.0)
+                PU = jax.lax.dynamic_slice(Ub, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
                 U12t = PU[:, Np:, :]             # (B, Mb, Np) = U12'
                 upd = jnp.einsum("bmc,bck->bmk", U12t, xc,
                                  preferred_element_type=x.dtype)
                 x = x.at[ridx.reshape(-1)].add(
                     -upd.reshape(-1, upd.shape[-1]), mode="drop")
-    for li in range(nlevels - 1, -1, -1):
-        for bi, (g, pe, cidx, ridx) in enumerate(level_arrays[li]):
-            Bsz, Mp, Np = g.shape
-            Mb = Mp - Np
+    for li in range(len(meta) - 1, -1, -1):
+        for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
+                zip(level_arrays[li], meta[li])):
+            Mp = Np + Mb
             perm = pivs[li][bi]
-            safe = jnp.maximum(g, 0)
-            PL = jnp.where(g >= 0, Lb[safe], 0.0)
+            PL = jax.lax.dynamic_slice(Lb, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
             lu = PL[:, :Np, :]
             L11 = jnp.tril(lu, -1) + jax.vmap(jnp.diag)(jnp.ones_like(pe))
             xc = x[cidx]
@@ -440,7 +429,7 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
         z = (rhs / num.Rs[:, None])[S.a_perm_rows, :]
         x = jnp.zeros((n + 1, k), dtype=num.dtype)
         x = x.at[:n, :].set(jnp.asarray(z, dtype=num.dtype))
-        x = _lu_solve_impl(num.Lb, num.Ub, x, num.pivs, len(S.plan.levels), la)
+        x = _lu_solve_impl(num.Lb, num.Ub, x, num.pivs, la, S.plan.meta)
         out = np.empty((n, k))
         out[S.a_perm_cols, :] = np.asarray(x[:n], dtype=np.float64)
         return out
@@ -450,8 +439,7 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
         z = rhs[S.a_perm_cols, :]
         x = jnp.zeros((n + 1, k), dtype=num.dtype)
         x = x.at[:n, :].set(jnp.asarray(z, dtype=num.dtype))
-        x = _lu_tsolve_impl(num.Lb, num.Ub, x, num.pivs,
-                            len(S.plan.levels), la)
+        x = _lu_tsolve_impl(num.Lb, num.Ub, x, num.pivs, la, S.plan.meta)
         out = np.empty((n, k))
         out[S.a_perm_rows, :] = np.asarray(x[:n], dtype=np.float64)
         return out / num.Rs[:, None]
@@ -488,8 +476,9 @@ def umf_determinant(num: UmfNumeric) -> tuple[float, float]:
     sign = 1.0
     for s in range(ss.nsuper):
         ms, ns = ss.panel_shape(s)
+        Np, Mp = int(ss.panel_Np[s]), int(ss.panel_Mp[s])
         o = int(ss.panel_off[s])
-        panel = h[o:o + ms * ns].reshape(ms, ns)
+        panel = h[o:o + Mp * Np].reshape(Mp, Np)
         d = np.diag(panel[:ns, :ns])
         sign *= np.prod(np.sign(d))
         logdet += np.sum(np.log(np.abs(d)))

@@ -39,57 +39,65 @@ def _pad_batch(x: np.ndarray, mult: int) -> np.ndarray:
     return np.pad(x, padding, constant_values=(-1 if x.dtype.kind == "i" else 0))
 
 
-def distributed_level_step(mesh: Mesh, Lx: jax.Array,
-                           gather: np.ndarray, padeye: np.ndarray,
-                           dest: np.ndarray, trash: int) -> jax.Array:
-    """One elimination level on a device mesh.
+def distributed_level_step(mesh: Mesh, Lx: jax.Array, bucket,
+                           trash: int) -> jax.Array:
+    """One elimination-level bucket on a device mesh.
 
-    gather: (B, Mp, Np) panel gather map; dest: (B, Mb, Mb) update scatter.
-    The batch is sharded over the mesh; each shard factorizes its supernodes
-    and produces update contributions; contributions are summed across the
-    mesh (extend-add) into the replicated factor buffer.
+    The supernode batch is sharded over the mesh; each shard factorizes its
+    panels; write-back and extend-add reduce into the replicated factor
+    buffer (XLA inserts the cross-chip collectives).
     """
     ndev = mesh.devices.size
-    gather = _pad_batch(gather, ndev)
-    padeye = _pad_batch(padeye, ndev)
-    dest_p = _pad_batch(dest, ndev)
-    # padded batch entries: gather=-1 everywhere, dest -> trash
+    Np, Mb, base, B = bucket.Np, bucket.Mb, bucket.base, len(bucket.sids)
+    Mp = Np + Mb
+    pe = _pad_batch(bucket.padeye, ndev)
+    rmask = _pad_batch(bucket.rowmask, ndev)
+    cmask = _pad_batch(bucket.colmask, ndev)
+    dest_p = _pad_batch(bucket.dest, ndev)
     dest_p[dest_p < 0] = trash
-    Np = gather.shape[2]
+    Bp = pe.shape[0]
 
     sh_b = NamedSharding(mesh, P("batch"))
     sh_r = NamedSharding(mesh, P())
-    g = jax.device_put(jnp.asarray(gather), sh_b)
-    pe = jax.device_put(jnp.asarray(padeye, dtype=Lx.dtype), sh_b)
-    d = jax.device_put(jnp.asarray(dest_p), sh_b)
+    ped = jax.device_put(jnp.asarray(pe, dtype=Lx.dtype), sh_b)
+    rmd = jax.device_put(jnp.asarray(rmask, dtype=Lx.dtype), sh_b)
+    cmd = jax.device_put(jnp.asarray(cmask, dtype=Lx.dtype), sh_b)
+    dd = jax.device_put(jnp.asarray(dest_p), sh_b)
     Lx = jax.device_put(Lx, sh_r)
 
     @functools.partial(jax.jit, out_shardings=sh_r)
-    def step(Lx, g, pe, d):
-        safe = jnp.maximum(g, 0)
-        Pnl = jnp.where(g >= 0, Lx[safe], 0.0)
+    def step(Lx, pe, rmask, cmask, d):
+        Pfull = jax.lax.dynamic_slice(Lx, (base,), (B * Mp * Np,))
+        Pfull = Pfull.reshape(B, Mp, Np)
+        # pad the batch to the mesh multiple (panels of zeros + identity)
+        padB = pe.shape[0] - B
+        if padB:
+            Pnl = jnp.concatenate(
+                [Pfull, jnp.zeros((padB, Mp, Np), dtype=Lx.dtype)], axis=0)
+        else:
+            Pnl = Pfull
         T = Pnl[:, :Np, :]
         Tfull = T + jnp.tril(T, -1).transpose(0, 2, 1)
         Tfull = Tfull + jax.vmap(jnp.diag)(pe)
         C = jnp.linalg.cholesky(Tfull)
-        # pad-batch panels are all-zero + identity -> cholesky stays finite
         Bm = Pnl[:, Np:, :]
-        if Bm.shape[1]:
+        if Mb:
             Bm = jax.lax.linalg.triangular_solve(
                 C, Bm, left_side=False, lower=True, transpose_a=True)
             U = jnp.einsum("bik,bjk->bij", Bm, Bm,
                            preferred_element_type=Lx.dtype)
             newP = jnp.concatenate([C, Bm], axis=1)
-            # extend-add: scatter-add runs under the batch sharding; XLA
-            # inserts the cross-chip reduction for the replicated output
-            Lx = Lx.at[d.reshape(-1)].add(-U.reshape(-1), mode="drop")
         else:
             newP = C
-        gd = jnp.where(g >= 0, g, Lx.shape[0] - 1)
-        Lx = Lx.at[gd.reshape(-1)].set(newP.reshape(-1), mode="drop")
+        newP = newP * rmask[:, :, None] * cmask[:, None, :]
+        Lx = jax.lax.dynamic_update_slice(
+            Lx, newP[:B].reshape(-1), (base,))
+        if Mb:
+            # extend-add: cross-chip reduction into the replicated buffer
+            Lx = Lx.at[d.reshape(-1)].add(-U.reshape(-1), mode="drop")
         return Lx
 
-    return step(Lx, g, pe, d)
+    return step(Lx, ped, rmd, cmd, dd)
 
 
 def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32):
@@ -113,7 +121,6 @@ def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32):
     Lx = Lx.at[jnp.asarray(ss.a_scatter_dst)].add(jnp.asarray(vals))
     for lv in plan.levels:
         for b in lv:
-            Lx = distributed_level_step(mesh, Lx, b.gather, b.padeye, b.dest,
-                                        plan.total)
+            Lx = distributed_level_step(mesh, Lx, b, plan.total)
     return SuperFactor(plan=plan, Lx=Lx, perm=sym.perm, minor=plan.n,
                        dtype=dtype), sym

@@ -179,11 +179,13 @@ def qr_symbolic(A: SparseCSC, common: Optional[Common] = None) -> QRSymbolic:
                         cb_dst.append(b * FR + crofs + rr)
                     crofs += int(crows[c])
                 # R output: workspace row t (t < min(fr, ms)) col k ->
-                # R panel: Rpanel[local(k), t] at panel_off[s]
+                # R panel (padded normalized layout): Rpanel[norm(k), t]
                 o = int(ss.panel_off[s])
+                NpS = int(ss.panel_Np[s])
                 for t in range(min(int(frows[s]), ms, ns)):
                     for k in range(t, ms):
-                        r_dst[b, k, t] = o + k * ns + t
+                        nk = k if k < ns else NpS + (k - ns)
+                        r_dst[b, k, t] = o + nk * NpS + t
                 # C out: workspace rows ns..ns+crows, cols ns.. -> C buffer
                 ccols_s = ms - ns
                 for rr in range(int(crows[s])):
@@ -330,8 +332,9 @@ def qr_factorize(A: SparseCSC, S: QRSymbolic, b: Optional[np.ndarray] = None,
     diag = np.zeros(n)
     for s in range(ss.nsuper):
         ms, ns_ = ss.panel_shape(s)
+        Np, Mp = int(ss.panel_Np[s]), int(ss.panel_Mp[s])
         o = int(ss.panel_off[s])
-        pn = h[o:o + ms * ns_].reshape(ms, ns_)
+        pn = h[o:o + Mp * Np].reshape(Mp, Np)
         j1 = int(ss.super[s])
         diag[j1:j1 + ns_] = np.diag(pn[:ns_, :ns_])
     rank = int((np.abs(diag) > tol).sum())
@@ -354,13 +357,14 @@ def qr_rsolve(num: QRNumeric, c: np.ndarray, dead_zero: bool = True) -> np.ndarr
     xk = x.reshape(n, -1)
     for s in range(ss.nsuper - 1, -1, -1):
         ms, ns_ = ss.panel_shape(s)
+        Np, Mp = int(ss.panel_Np[s]), int(ss.panel_Mp[s])
         o = int(ss.panel_off[s])
-        pn = h[o:o + ms * ns_].reshape(ms, ns_).astype(np.float64)
+        pn = h[o:o + Mp * Np].reshape(Mp, Np).astype(np.float64)
         j1 = int(ss.super[s])
         rows_s = ss.rows_of(s)
         beyond = rows_s[ns_:]
-        R11t = pn[:ns_, :]          # R11^T (ns x ns), lower triangular
-        R12t = pn[ns_:, :]          # R12^T ((ms-ns) x ns)
+        R11t = pn[:ns_, :ns_]       # R11^T (ns x ns), lower triangular
+        R12t = pn[Np:Np + (ms - ns_), :ns_]   # R12^T ((ms-ns) x ns)
         rhs = xk[j1:j1 + ns_]
         if len(beyond):
             rhs = rhs - R12t.T @ xk[beyond]

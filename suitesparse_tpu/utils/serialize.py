@@ -90,7 +90,7 @@ def save_super_factor(path, f) -> None:
                dtype=np.dtype(f.dtype).name, total=int(ss.total)),
           dict(Lx=np.asarray(f.Lx), perm=f.perm, super=ss.super,
                col_to_super=ss.col_to_super, sn_rowptr=ss.sn_rowptr,
-               sn_rows=ss.sn_rows, panel_off=ss.panel_off,
+               sn_rows=ss.sn_rows,
                sn_parent=ss.sn_parent,
                level_sizes=np.array([len(l) for l in ss.levels]),
                levels_flat=np.concatenate(ss.levels) if ss.levels
@@ -100,7 +100,7 @@ def save_super_factor(path, f) -> None:
 
 def load_super_factor(path):
     import jax.numpy as jnp
-    from ..cholesky.supernodal import SuperSymbolic
+    from ..cholesky.supernodal import SuperSymbolic, _assign_layout
     from ..cholesky.super_numeric import SuperFactor, build_plan
     meta, arr = _unpack(path, "super_factor")
     sizes = arr["level_sizes"]
@@ -109,12 +109,22 @@ def load_super_factor(path):
     for s in sizes:
         levels.append(flat[k:k + int(s)])
         k += int(s)
-    ss = SuperSymbolic(n=meta["n"], nsuper=meta["nsuper"], super=arr["super"],
+    nsuper = meta["nsuper"]
+    shapes = [(int(arr["sn_rowptr"][s + 1] - arr["sn_rowptr"][s]),
+               int(arr["super"][s + 1] - arr["super"][s]))
+              for s in range(nsuper)]
+    # layout assignment is deterministic given (levels, shapes)
+    panel_off, panel_Np, panel_Mp, total, level_buckets = _assign_layout(
+        levels, shapes)
+    assert total == meta["total"], "layout mismatch on load"
+    ss = SuperSymbolic(n=meta["n"], nsuper=nsuper, super=arr["super"],
                        col_to_super=arr["col_to_super"],
                        sn_rowptr=arr["sn_rowptr"], sn_rows=arr["sn_rows"],
-                       panel_off=arr["panel_off"], total=meta["total"],
+                       panel_off=panel_off, panel_Np=panel_Np,
+                       panel_Mp=panel_Mp, total=total,
                        sn_parent=arr["sn_parent"], levels=levels,
-                       lnz_dense=meta["total"], a_scatter_dst=arr["a_dst"],
+                       level_buckets=level_buckets,
+                       lnz_dense=total, a_scatter_dst=arr["a_dst"],
                        a_scatter_src=arr["a_src"])
     plan = build_plan(ss)
     return SuperFactor(plan=plan, Lx=jnp.asarray(arr["Lx"]), perm=arr["perm"],

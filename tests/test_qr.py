@@ -45,12 +45,15 @@ class TestQR:
         R = np.zeros((n, n))
         for s in range(ss.nsuper):
             ms, ns_ = ss.panel_shape(s)
+            Np, Mp = int(ss.panel_Np[s]), int(ss.panel_Mp[s])
             o = int(ss.panel_off[s])
-            pn = h[o:o + ms * ns_].reshape(ms, ns_)
+            pn = h[o:o + Mp * Np].reshape(Mp, Np)
             j1 = int(ss.super[s])
             rows_s = ss.rows_of(s)
+            vals = np.concatenate([pn[:ns_, :], pn[Np:Np + (ms - ns_), :]],
+                                  axis=0)
             for t in range(ns_):
-                R[j1 + t, rows_s] = pn[:, t]
+                R[j1 + t, rows_s] = vals[:, t]
         AtA = (S.T @ S).toarray()
         p = Ssym.sym.perm
         assert np.abs(R.T @ R - AtA[np.ix_(p, p)]).max() < 1e-8
