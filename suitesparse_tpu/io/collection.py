@@ -73,3 +73,35 @@ def _download(name: str) -> SparseCSC:
     with tarfile.open(tar_path) as tf:
         tf.extractall(dest)
     return mmread(str(dest / bare / f"{bare}.mtx"))
+
+
+# -- stats index (ssget ssstats.csv equivalent) ------------------------------
+
+def stats(name: str, fetch: bool = False) -> dict:
+    """Per-matrix stats record (ssget sskinds/ssstats analog): computed
+    locally from the matrix (group, name, nrow, ncol, nnz, symmetry,
+    posdef-ish, kind guess)."""
+    A = get(name, fetch=fetch)
+    from ..core.sparse import symmetry as _symmetry
+    sym, nzdiag = _symmetry(A) if A.stype == 0 else (1.0, min(A.shape))
+    rec = {
+        "name": name,
+        "nrow": A.nrow,
+        "ncol": A.ncol,
+        "nnz": A.nnz,
+        "stype": A.stype,
+        "pattern_symmetry": sym,
+        "nzdiag": nzdiag,
+        "is_square": A.nrow == A.ncol,
+    }
+    if A.data is not None and A.nrow == A.ncol and sym == 1.0:
+        d = A.diagonal()
+        rec["posdef_candidate"] = bool((d > 0).all())
+    return rec
+
+
+def index(names=None) -> list:
+    """Stats index over the locally available matrices (bundled + standins)."""
+    from .generators import _STANDINS
+    names = names or sorted(_STANDINS)
+    return [stats(n) for n in names]

@@ -51,6 +51,7 @@ def distributed_level_step(mesh: Mesh, Lx: jax.Array, bucket,
     Np, Mb, base, B = bucket.Np, bucket.Mb, bucket.base, len(bucket.sids)
     Mp = Np + Mb
     pe = _pad_batch(bucket.padeye, ndev)
+    pe[len(bucket.sids):, :] = 1.0   # pad-batch panels = identity (finite chol)
     rmask = _pad_batch(bucket.rowmask, ndev)
     cmask = _pad_batch(bucket.colmask, ndev)
     dest_p = _pad_batch(bucket.dest, ndev)

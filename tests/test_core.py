@@ -238,3 +238,12 @@ class TestTortureInputs:
         assert A.data is None and A.stype != 0 and A.shape == (24, 24)
         C = mmread(f"{d}/c.mtx")             # complex hermitian
         assert np.iscomplexobj(C.data) and C.stype != 0
+
+
+class TestCollectionStats:
+    def test_stats_and_index(self):
+        from suitesparse_tpu.io import collection
+        rec = collection.stats("HB/bcsstk01")
+        assert rec["is_square"] and rec["nrow"] == 49
+        idx = collection.index(["bcsstk01", "west0067"])
+        assert len(idx) == 2 and idx[0]["nnz"] > 0
