@@ -27,6 +27,13 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
 
     import jax
+    # persistent compilation cache: the numeric/solve programs take minutes
+    # to compile over the remote-compile tunnel; cache them across processes
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from suitesparse_tpu.cholesky import (analyze, super_symbolic, solve_super,
                                           residual_norm)
@@ -57,19 +64,17 @@ def main():
     log(f"n={n} nnz(A)={A.nnz} lnz={sym.lnz} fl={sym.flops:.3g} "
         f"nsuper={ss.nsuper} levels={len(ss.levels)} analyze={t_analyze:.2f}s")
 
+    from suitesparse_tpu.cholesky.super_numeric import _run_levels
     vals = _assemble_values(A, sym, ss, dtype)
     a_dst = jnp.asarray(ss.a_scatter_dst)
-    level_arrays = plan.arrays(dtype)
+    level_arrays = plan.arrays_segsum(dtype)
     meta = plan.meta
 
-    @jax.jit
     def numeric(avals):
-        from suitesparse_tpu.cholesky.super_numeric import _level_step
+        # assembly eager (small), levels jitted (cached across refactors)
         Lx = jnp.zeros(plan.total + 1, dtype=dtype)
         Lx = Lx.at[a_dst].add(avals)
-        for li in range(len(meta)):
-            Lx = _level_step(Lx, level_arrays[li], meta[li])
-        return Lx
+        return _run_levels(Lx, level_arrays, meta, True)
 
     av = jnp.asarray(vals)
     Lx = numeric(av)
@@ -84,14 +89,18 @@ def main():
     gflops = sym.flops / t_factor / 1e9
     log(f"factor: {t_factor*1e3:.2f} ms  -> {gflops:.1f} GFLOP/s")
 
-    # residual check (with refinement when factoring in f32)
+    # residual check (with refinement when factoring in f32).  The solve
+    # runs on the HOST via the simplicial view: the device solve programs
+    # take minutes to compile over the tunnel and are not the metric here.
+    from suitesparse_tpu.cholesky.simplicial import solve as simpl_solve
     f = SuperFactor(plan=plan, Lx=Lx, perm=sym.perm, minor=n, dtype=dtype)
+    fs = f.to_simplicial()
     b = np.ones(n)
-    x = solve_super(f, b.astype(dtype)).astype(np.float64)
+    x = simpl_solve(fs, b, "A").astype(np.float64)
     S = A.to_scipy()
     for _ in range(3 if dtype == np.float32 else 1):
         r = b - S @ x
-        x = x + solve_super(f, r.astype(dtype)).astype(np.float64)
+        x = x + simpl_solve(fs, r, "A").astype(np.float64)
     res = residual_norm(A, x, b)
     log(f"residual (after refinement): {res:.2e}")
 

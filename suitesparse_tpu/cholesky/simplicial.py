@@ -65,8 +65,8 @@ class Factor:
 
 
 def _permuted_upper(A: SparseCSC, perm: np.ndarray) -> SparseCSC:
-    U = _force_upper(A) if A.stype == 0 else (A if A.stype > 0 else A.transpose())
-    return U.symperm(perm, values=True).sort_indices()
+    from ..core.sparse import sym_upper_view
+    return sym_upper_view(A).symperm(perm, values=True).sort_indices()
 
 
 def factorize_simplicial(A: SparseCSC, sym: Optional[Symbolic] = None,
@@ -135,7 +135,9 @@ def factorize_simplicial(A: SparseCSC, sym: Optional[Symbolic] = None,
                 lki = yi / D[i]
                 dk -= lki * np.conj(yi) if iscomplex else lki * yi
             Li[hi] = k
-            Lx[hi] = lki
+            # hermitian: the forward solve yields z_i = conj(L[k,i]);
+            # store the true factor entry (cholmod stores L, not z)
+            Lx[hi] = np.conj(lki) if iscomplex else lki
             lfill[i] += 1
         # pivot
         dkr = dk.real if iscomplex else dk
@@ -159,7 +161,9 @@ def factorize_simplicial(A: SparseCSC, sym: Optional[Symbolic] = None,
                     if minor == n:
                         minor = k
                     dk = 1.0
-            D[k] = dk
+            # hermitian: D is real by construction (imag is roundoff);
+            # np.real also covers the dbound-perturbed (real) dk
+            D[k] = np.real(dk) if iscomplex else dk
             lo = int(Lp[k])
             Li[lo] = k
             Lx[lo] = 1.0

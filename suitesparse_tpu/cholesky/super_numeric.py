@@ -50,6 +50,25 @@ class _Bucket:
     dest: np.ndarray        # (B, Mb, Mb) flat extend-add targets (trash pad)
     colidx: np.ndarray      # (B, Np) global column index (n = trash)
     rowidx: np.ndarray      # (B, Mb) global below-row index (n = trash)
+    # sorted-segment extend-add: gather only the real update entries in
+    # destination order and fold duplicates with a sorted segment_sum, so
+    # the expensive random op shrinks from a scatter-add of B*Mb*Mb
+    # elements to a scatter of K unique targets
+    seg_src: np.ndarray = None     # indices into flat U, sorted by dest
+    seg_ids: np.ndarray = None     # segment id per entry (sorted)
+    seg_dst: np.ndarray = None     # unique destinations (K,)
+
+    def segsum_maps(self, trash: int):
+        if self.seg_dst is None:
+            flat = self.dest.reshape(-1)
+            real = np.nonzero(flat != trash)[0]
+            d = flat[real]
+            order = np.argsort(d, kind="stable")
+            self.seg_src = real[order].astype(INDEX)
+            uniq, ids = np.unique(d[order], return_inverse=True)
+            self.seg_dst = uniq.astype(INDEX)
+            self.seg_ids = ids.astype(INDEX)
+        return self.seg_src, self.seg_ids, self.seg_dst
 
 
 @dataclasses.dataclass
@@ -69,6 +88,21 @@ class NumericPlan:
                    jnp.asarray(b.colmask, dtype=dtype),
                    jnp.asarray(b.dest)) for b in lv)
             for lv in self.levels)
+
+    def arrays_segsum(self, dtype):
+        """Variant arrays for the sorted-segment extend-add."""
+        out = []
+        for lv in self.levels:
+            row = []
+            for b in lv:
+                src, ids, dst = b.segsum_maps(self.total)
+                row.append((jnp.asarray(b.padeye, dtype=dtype),
+                            jnp.asarray(b.rowmask, dtype=dtype),
+                            jnp.asarray(b.colmask, dtype=dtype),
+                            jnp.asarray(src), jnp.asarray(ids),
+                            jnp.asarray(dst)))
+            out.append(tuple(row))
+        return tuple(out)
 
     def solve_arrays(self, dtype):
         return tuple(
@@ -170,10 +204,45 @@ def _level_step(Lx, bucket_arrays, bucket_meta):
     return Lx
 
 
-@functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
-def _run_levels(Lx, level_arrays, meta):
+def _level_step_segsum(Lx, bucket_arrays, bucket_meta):
+    """Level step with the sorted-segment extend-add: one static gather of
+    the real update entries, a sorted segment_sum folding duplicates, and
+    a sorted+unique scatter (lowered far better than a raw scatter-add)."""
+    for (pe, rmask, cmask, src, ids, dst), (Np, Mb, base, B) in zip(
+            bucket_arrays, bucket_meta):
+        Mp = Np + Mb
+        P = jax.lax.dynamic_slice(Lx, (base,), (B * Mp * Np,))
+        P = P.reshape(B, Mp, Np)
+        T = P[:, :Np, :]
+        Tfull = T + jnp.tril(T, -1).transpose(0, 2, 1)
+        Tfull = Tfull + jax.vmap(jnp.diag)(pe)
+        C = jnp.linalg.cholesky(Tfull)
+        if Mb:
+            Bm = P[:, Np:, :]
+            Bm = jax.lax.linalg.triangular_solve(
+                C, Bm, left_side=False, lower=True, transpose_a=True)
+            U = jnp.einsum("bik,bjk->bij", Bm, Bm,
+                           preferred_element_type=Lx.dtype)
+            newP = jnp.concatenate([C, Bm], axis=1)
+        else:
+            newP = C
+        newP = newP * rmask[:, :, None] * cmask[:, None, :]
+        Lx = jax.lax.dynamic_update_slice(Lx, newP.reshape(-1), (base,))
+        if Mb and src.shape[0]:
+            u = U.reshape(-1)[src]
+            seg = jax.ops.segment_sum(u, ids, num_segments=dst.shape[0],
+                                      indices_are_sorted=True)
+            Lx = Lx.at[dst].add(-seg, indices_are_sorted=True,
+                                unique_indices=True,
+                                mode="promise_in_bounds")
+    return Lx
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3), donate_argnums=(0,))
+def _run_levels(Lx, level_arrays, meta, segsum=False):
+    step = _level_step_segsum if segsum else _level_step
     for li in range(len(meta)):
-        Lx = _level_step(Lx, level_arrays[li], meta[li])
+        Lx = step(Lx, level_arrays[li], meta[li])
     return Lx
 
 
@@ -230,7 +299,8 @@ class SuperFactor:
 def _assemble_values(A: SparseCSC, sym: Symbolic, ss: SuperSymbolic,
                      dtype, beta: float = 0.0) -> np.ndarray:
     """Values of tril(PAP') in the canonical order matching a_scatter_dst."""
-    U = _force_upper(A) if A.stype == 0 else (A if A.stype > 0 else A.transpose())
+    from ..core.sparse import sym_upper_view
+    U = sym_upper_view(A)
     P = U.symperm(sym.perm, values=True).sort_indices()
     PL = P.transpose(values=True)
     PL.sort_indices()
@@ -254,10 +324,13 @@ def factorize_super(A: SparseCSC, sym: Symbolic, ss: SuperSymbolic,
     plan = plan or build_plan(ss)
     cm.tic("factorize")
 
+    import os
+    segsum = os.environ.get("SSTPU_EXTEND_ADD", "segsum") == "segsum"
     vals = _assemble_values(A, sym, ss, dtype)
     Lx = jnp.zeros(plan.total + 1, dtype=dtype)
     Lx = Lx.at[jnp.asarray(ss.a_scatter_dst)].add(jnp.asarray(vals))
-    Lx = _run_levels(Lx, plan.arrays(dtype), plan.meta)
+    arrays = plan.arrays_segsum(dtype) if segsum else plan.arrays(dtype)
+    Lx = _run_levels(Lx, arrays, plan.meta, segsum)
     Lx.block_until_ready()
     t = cm.toc("factorize")
 

@@ -75,7 +75,8 @@ def analyze(A: SparseCSC, common: Optional[Common] = None,
     cm = common or default_common()
     opts = cm.cholesky
     cm.tic("analyze")
-    U = _force_upper(A) if A.stype == 0 else (A if A.stype > 0 else A.transpose())
+    from ..core.sparse import sym_upper_view
+    U = sym_upper_view(A)
     n = U.ncol
     anz = U.nnz
 

@@ -91,9 +91,11 @@ class SparseCSC:
             shape=self.shape,
         )
         if self.stype != UNSYM:
-            # expand symmetric storage to full
+            # expand symmetric storage to full (hermitian for complex data,
+            # the cholmod convention for complex stype != 0)
             D = sp.diags(A.diagonal())
-            A = A + A.T - D
+            At = A.conj().T if np.iscomplexobj(A.data) else A.T
+            A = A + At - D
         return A
 
     @classmethod
@@ -149,9 +151,10 @@ class SparseCSC:
         self.sorted = True
         return self
 
-    def transpose(self, values: bool = True) -> "SparseCSC":
+    def transpose(self, values: bool = True,
+                  conjugate: bool = False) -> "SparseCSC":
         """A' in CSC (cholmod_transpose / cs_transpose).  For stype != 0 this
-        flips the stored triangle."""
+        flips the stored triangle; conjugate=True gives the adjoint."""
         nrow, ncol = self.shape
         indptr = np.zeros(nrow + 1, dtype=INDEX)
         np.add.at(indptr, self.indices + 1, 1)
@@ -167,6 +170,8 @@ class SparseCSC:
         tind = col[order]
         if tdat is not None:
             tdat = self.data[order]
+            if conjugate and np.iscomplexobj(tdat):
+                tdat = np.conj(tdat)
         del next_
         return SparseCSC(indptr, tind, tdat, (ncol, nrow),
                          stype=-self.stype, sorted=True)
@@ -259,7 +264,11 @@ class SparseCSC:
         np.cumsum(indptr, out=indptr)
         data = None
         if values and A.data is not None:
-            data = A.data[order]
+            data = A.data.copy()
+            if np.iscomplexobj(data):
+                # hermitian storage: entries that flip triangle conjugate
+                data = np.where(i2 > j2, np.conj(data), data)
+            data = data[order]
         return SparseCSC(indptr, r[order], data, (n, n), stype=SYM_UPPER,
                          sorted=True)
 
@@ -343,6 +352,20 @@ def _filtered(A: SparseCSC, keep: np.ndarray) -> SparseCSC:
     return SparseCSC(indptr, A.indices[keep],
                      None if A.data is None else A.data[keep],
                      A.shape, stype=A.stype, sorted=A.sorted)
+
+
+def sym_upper_view(A: "SparseCSC") -> "SparseCSC":
+    """Canonical upper-triangular view of a symmetric/hermitian matrix:
+    stype>0 as-is; stype<0 via (conjugating, for complex) transpose;
+    stype==0 takes triu (values assumed consistent)."""
+    if A.stype > 0:
+        return A
+    if A.stype < 0:
+        return A.transpose(conjugate=np.iscomplexobj(A.data)
+                           if A.data is not None else False)
+    U = A.triu(0)
+    U.stype = SYM_UPPER
+    return U
 
 
 def invert_permutation(p: np.ndarray) -> np.ndarray:

@@ -125,7 +125,9 @@ def _gp_lu_block(Bp, Bi, Bx, nb, tol, halt_if_singular):
     Up = [0]; Ui = []; Ux = []
     pinv = np.full(nb, -1, dtype=INDEX)    # orig row -> pivot position
     prow = np.full(nb, -1, dtype=INDEX)    # pivot position -> orig row
-    x = np.zeros(nb)
+    dtype = np.result_type(Bx.dtype if hasattr(Bx, "dtype") else np.float64,
+                           np.float64)
+    x = np.zeros(nb, dtype=dtype)
     flag = np.zeros(nb, dtype=bool)
     singular_at = nb
     flops = 0.0
@@ -241,8 +243,8 @@ def _gp_lu_block(Bp, Bi, Bx, nb, tol, halt_if_singular):
     # map L row indices to final pivot coordinates
     Li = pinv[np.array(Li, dtype=INDEX)] if Li else np.empty(0, dtype=INDEX)
     blk = _BlockLU(n=nb, Lp=np.array(Lp, dtype=INDEX), Li=np.asarray(Li, dtype=INDEX),
-                   Lx=np.array(Lx), Up=np.array(Up, dtype=INDEX),
-                   Ui=np.array(Ui, dtype=INDEX), Ux=np.array(Ux),
+                   Lx=np.array(Lx, dtype=dtype), Up=np.array(Up, dtype=INDEX),
+                   Ui=np.array(Ui, dtype=INDEX), Ux=np.array(Ux, dtype=dtype),
                    pivot_rows=prow.copy())
     return blk, pinv, singular_at, flops, umin, umax
 
@@ -341,7 +343,11 @@ def klu_refactor(A: SparseCSC, sym: KLUSymbolic, num: KLUNumeric,
         Sub = S[lo:hi, lo:hi].tocsc()
         pinv = np.full(nb, -1, dtype=INDEX)
         pinv[blk.pivot_rows] = np.arange(nb, dtype=INDEX)
-        x = np.zeros(nb)
+        dtype = np.result_type(Sub.dtype, np.float64)
+        if blk.Lx.dtype != dtype:
+            blk.Lx = blk.Lx.astype(dtype)
+            blk.Ux = blk.Ux.astype(dtype)
+        x = np.zeros(nb, dtype=dtype)
         for k in range(nb):
             clo, chi = int(Sub.indptr[k]), int(Sub.indptr[k + 1])
             # scatter in pivot coordinates
@@ -386,7 +392,9 @@ def klu_solve(num: KLUNumeric, b: np.ndarray,
     """Solve Ax=b via block back-substitution (klu_solve.c:207-219)."""
     sym = num.sym
     n = sym.n
-    b = np.asarray(b, dtype=np.float64)
+    fdtype = num.blocks[0].Lx.dtype if num.blocks else np.float64
+    b = np.asarray(b, dtype=np.result_type(np.asarray(b).dtype, fdtype,
+                                           np.float64))
     one_d = b.ndim == 1
     X = b.reshape(n, -1).copy()
     if transpose:
@@ -426,8 +434,10 @@ def _klu_tsolve(num: KLUNumeric, b: np.ndarray) -> np.ndarray:
     """A' x = b (klu_tsolve)."""
     sym = num.sym
     n = sym.n
+    fdtype = num.blocks[0].Lx.dtype if num.blocks else np.float64
     one_d = b.ndim == 1
-    X = np.asarray(b, dtype=np.float64).reshape(n, -1).copy()
+    X = np.asarray(b, dtype=np.result_type(np.asarray(b).dtype, fdtype,
+                                           np.float64)).reshape(n, -1).copy()
     X = X[sym.q, :]
     # forward over blocks (transpose of backward)
     for blk_id in range(sym.nblocks):
