@@ -190,11 +190,15 @@ def umf_symbolic(A: SparseCSC, common: Optional[Common] = None) -> UmfSymbolic:
 def _lu_level_step(Lb, Ub, bucket_arrays, bucket_meta):
     """Factor one level: batched block-LU with restricted pivoting.
 
+    Extend-add uses the sorted-segment formulation (see the Cholesky
+    engine): C scatters into the L buffer and C^T into the U^T buffer
+    through the same sorted/unique maps.
+
     Returns updated buffers and the per-bucket pivot permutations.
     """
     pivs = []
-    for (pe, rmask, cmask, d), (Np, Mb, base, B) in zip(bucket_arrays,
-                                                        bucket_meta):
+    for (pe, rmask, cmask, src, ids, dst), (Np, Mb, base, B) in zip(
+            bucket_arrays, bucket_meta):
         Mp = Np + Mb
         PL = jax.lax.dynamic_slice(Lb, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
         PU = jax.lax.dynamic_slice(Ub, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
@@ -228,10 +232,18 @@ def _lu_level_step(Lb, Ub, bucket_arrays, bucket_meta):
         mask = rmask[:, :, None] * cmask[:, None, :]
         Lb = jax.lax.dynamic_update_slice(Lb, (newL * mask).reshape(-1), (base,))
         Ub = jax.lax.dynamic_update_slice(Ub, (newU * mask).reshape(-1), (base,))
-        if Mb:
-            df = d.reshape(-1)
-            Lb = Lb.at[df].add(-C.reshape(-1), mode="drop")
-            Ub = Ub.at[df].add(-C.transpose(0, 2, 1).reshape(-1), mode="drop")
+        if Mb and src.shape[0]:
+            K = dst.shape[0]
+            cu = C.reshape(-1)[src]
+            seg = jax.ops.segment_sum(cu, ids, num_segments=K,
+                                      indices_are_sorted=True)
+            Lb = Lb.at[dst].add(-seg, indices_are_sorted=True,
+                                unique_indices=True, mode="promise_in_bounds")
+            ct = C.transpose(0, 2, 1).reshape(-1)[src]
+            segt = jax.ops.segment_sum(ct, ids, num_segments=K,
+                                       indices_are_sorted=True)
+            Ub = Ub.at[dst].add(-segt, indices_are_sorted=True,
+                                unique_indices=True, mode="promise_in_bounds")
     return Lb, Ub, pivs
 
 
@@ -284,7 +296,7 @@ def umf_numeric(A: SparseCSC, S: UmfSymbolic,
     Lb = Lb.at[jnp.asarray(S.a_scatter_L[okL])].add(jnp.asarray(vals[okL]))
     Ub = Ub.at[jnp.asarray(S.a_scatter_U[okU])].add(jnp.asarray(vals[okU]))
 
-    level_arrays = S.plan.arrays(dtype)
+    level_arrays = S.plan.arrays_segsum(dtype)
     Lb, Ub, pivs = _lu_run_levels(Lb, Ub, level_arrays, S.plan.meta)
     Lb.block_until_ready()
     t = cm.toc("umf_numeric")
