@@ -38,7 +38,8 @@ def main():
     from suitesparse_tpu.cholesky import (analyze, super_symbolic, solve_super,
                                           residual_norm)
     from suitesparse_tpu.cholesky.super_numeric import (
-        _assemble_values, _run_levels, build_plan, SuperFactor)
+        _assemble_values, _a_sorted_maps, _numeric_program, build_plan,
+        SuperFactor)
     from suitesparse_tpu.core.common import default_common
     from suitesparse_tpu.io import collection
 
@@ -64,17 +65,15 @@ def main():
     log(f"n={n} nnz(A)={A.nnz} lnz={sym.lnz} fl={sym.flops:.3g} "
         f"nsuper={ss.nsuper} levels={len(ss.levels)} analyze={t_analyze:.2f}s")
 
-    from suitesparse_tpu.cholesky.super_numeric import _run_levels
     vals = _assemble_values(A, sym, ss, dtype)
-    a_dst = jnp.asarray(ss.a_scatter_dst)
+    a_src, a_dst = map(jnp.asarray, _a_sorted_maps(ss))
     level_arrays = plan.arrays_segsum(dtype)
     meta = plan.meta
 
     def numeric(avals):
-        # assembly eager (small), levels jitted (cached across refactors)
-        Lx = jnp.zeros(plan.total + 1, dtype=dtype)
-        Lx = Lx.at[a_dst].add(avals)
-        return _run_levels(Lx, level_arrays, meta, True)
+        # ONE compiled program: sorted assembly set + level schedule
+        return _numeric_program(avals, a_src, a_dst, level_arrays, meta,
+                                plan.total, True)
 
     av = jnp.asarray(vals)
     Lx = numeric(av)

@@ -246,6 +246,46 @@ def _run_levels(Lx, level_arrays, meta, segsum=False):
     return Lx
 
 
+def sorted_scatter_maps(dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Static maps turning an assembly scatter into a sorted+unique one.
+
+    Returns (src, dsort): indices into the value array ordered by
+    destination, and the matching sorted destinations.  Entries with
+    dst < 0 are dropped.  Assembly destinations are distinct panel slots,
+    so a scatter through these maps can promise sorted AND unique indices —
+    which XLA lowers to a vectorized one-pass update instead of the
+    serialized general scatter (the same trick as the segment-sum
+    extend-add; see NOTES_ROUND1.md).
+    """
+    src = np.nonzero(np.asarray(dst) >= 0)[0]
+    d = np.asarray(dst)[src]
+    order = np.argsort(d, kind="stable")
+    return src[order].astype(INDEX), d[order].astype(INDEX)
+
+
+def _a_sorted_maps(ss: SuperSymbolic):
+    maps = getattr(ss, "_a_sorted", None)
+    if maps is None:
+        maps = sorted_scatter_maps(ss.a_scatter_dst)
+        ss._a_sorted = maps
+    return maps
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _numeric_program(vals, a_src, a_dst, level_arrays, meta, total,
+                     segsum=True):
+    """The full numeric factorization as ONE compiled program: sorted
+    A-assembly (a unique+sorted set into the zero panel buffer) followed by
+    the level schedule.  Reused verbatim across refactorizations."""
+    Lx = jnp.zeros(total + 1, dtype=vals.dtype)
+    Lx = Lx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
+                          unique_indices=True, mode="promise_in_bounds")
+    step = _level_step_segsum if segsum else _level_step
+    for li in range(len(meta)):
+        Lx = step(Lx, level_arrays[li], meta[li])
+    return Lx
+
+
 @dataclasses.dataclass
 class SuperFactor:
     """Numeric supernodal factor: flat panel buffer + plan (PAP' = LL')."""
@@ -327,10 +367,11 @@ def factorize_super(A: SparseCSC, sym: Symbolic, ss: SuperSymbolic,
     import os
     segsum = os.environ.get("SSTPU_EXTEND_ADD", "segsum") == "segsum"
     vals = _assemble_values(A, sym, ss, dtype)
-    Lx = jnp.zeros(plan.total + 1, dtype=dtype)
-    Lx = Lx.at[jnp.asarray(ss.a_scatter_dst)].add(jnp.asarray(vals))
+    a_src, a_dst = _a_sorted_maps(ss)
     arrays = plan.arrays_segsum(dtype) if segsum else plan.arrays(dtype)
-    Lx = _run_levels(Lx, arrays, plan.meta, segsum)
+    Lx = _numeric_program(jnp.asarray(vals), jnp.asarray(a_src),
+                          jnp.asarray(a_dst), arrays, plan.meta,
+                          plan.total, segsum)
     Lx.block_until_ready()
     t = cm.toc("factorize")
 

@@ -289,12 +289,25 @@ def umf_numeric(A: SparseCSC, S: UmfSymbolic,
     B2.sort_indices()
 
     vals = B2.data.astype(dtype)
+    # sorted+unique assembly sets (see cholesky.super_numeric.sorted_scatter_maps)
+    from ..cholesky.super_numeric import sorted_scatter_maps
+    maps = getattr(S, "_a_sorted", None)
+    if maps is None:
+        maps = (sorted_scatter_maps(S.a_scatter_L),
+                sorted_scatter_maps(S.a_scatter_U))
+        S._a_sorted = maps
+    (srcL, dstL), (srcU, dstU) = maps
+    vj = jnp.asarray(vals)
     Lb = jnp.zeros(S.plan.total + 1, dtype=dtype)
     Ub = jnp.zeros(S.plan.total + 1, dtype=dtype)
-    okL = S.a_scatter_L >= 0
-    okU = S.a_scatter_U >= 0
-    Lb = Lb.at[jnp.asarray(S.a_scatter_L[okL])].add(jnp.asarray(vals[okL]))
-    Ub = Ub.at[jnp.asarray(S.a_scatter_U[okU])].add(jnp.asarray(vals[okU]))
+    Lb = Lb.at[jnp.asarray(dstL)].set(vj[jnp.asarray(srcL)],
+                                      indices_are_sorted=True,
+                                      unique_indices=True,
+                                      mode="promise_in_bounds")
+    Ub = Ub.at[jnp.asarray(dstU)].set(vj[jnp.asarray(srcU)],
+                                      indices_are_sorted=True,
+                                      unique_indices=True,
+                                      mode="promise_in_bounds")
 
     level_arrays = S.plan.arrays_segsum(dtype)
     Lb, Ub, pivs = _lu_run_levels(Lb, Ub, level_arrays, S.plan.meta)

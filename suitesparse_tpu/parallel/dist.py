@@ -24,8 +24,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "batch") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "batch",
+              devices: Sequence | None = None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
 
@@ -117,9 +118,14 @@ def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32):
     sym = analyze(A, cm)
     ss = super_symbolic(A, sym, cm)
     plan = build_plan(ss)
+    from ..cholesky.super_numeric import _a_sorted_maps
     vals = _assemble_values(A, sym, ss, dtype)
+    a_src, a_dst = _a_sorted_maps(ss)
     Lx = jnp.zeros(plan.total + 1, dtype=dtype)
-    Lx = Lx.at[jnp.asarray(ss.a_scatter_dst)].add(jnp.asarray(vals))
+    Lx = Lx.at[jnp.asarray(a_dst)].set(jnp.asarray(vals)[jnp.asarray(a_src)],
+                                       indices_are_sorted=True,
+                                       unique_indices=True,
+                                       mode="promise_in_bounds")
     for lv in plan.levels:
         for b in lv:
             Lx = distributed_level_step(mesh, Lx, b, plan.total)
