@@ -70,10 +70,12 @@ def main():
     level_arrays = plan.arrays_segsum(dtype)
     meta = plan.meta
 
+    syrk_bf16 = os.environ.get("BENCH_SYRK_BF16", "0") == "1"
+
     def numeric(avals):
         # ONE compiled program: sorted assembly set + level schedule
         return _numeric_program(avals, a_src, a_dst, level_arrays, meta,
-                                plan.total, True)
+                                plan.total, True, syrk_bf16)
 
     av = jnp.asarray(vals)
     Lx = numeric(av)

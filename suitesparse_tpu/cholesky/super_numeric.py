@@ -204,10 +204,15 @@ def _level_step(Lx, bucket_arrays, bucket_meta):
     return Lx
 
 
-def _level_step_segsum(Lx, bucket_arrays, bucket_meta):
+def _level_step_segsum(Lx, bucket_arrays, bucket_meta, syrk_bf16=False):
     """Level step with the sorted-segment extend-add: one static gather of
     the real update entries, a sorted segment_sum folding duplicates, and
-    a sorted+unique scatter (lowered far better than a raw scatter-add)."""
+    a sorted+unique scatter (lowered far better than a raw scatter-add).
+
+    syrk_bf16: compute the SYRK descendant update with bfloat16 inputs and
+    float32 accumulation (full-rate MXU); the POTRF/TRSM panels stay f32.
+    Opt-in (Common.cholesky.syrk_bf16) — pairs with iterative refinement.
+    """
     for (pe, rmask, cmask, src, ids, dst), (Np, Mb, base, B) in zip(
             bucket_arrays, bucket_meta):
         Mp = Np + Mb
@@ -221,7 +226,8 @@ def _level_step_segsum(Lx, bucket_arrays, bucket_meta):
             Bm = P[:, Np:, :]
             Bm = jax.lax.linalg.triangular_solve(
                 C, Bm, left_side=False, lower=True, transpose_a=True)
-            U = jnp.einsum("bik,bjk->bij", Bm, Bm,
+            Bs = Bm.astype(jnp.bfloat16) if syrk_bf16 else Bm
+            U = jnp.einsum("bik,bjk->bij", Bs, Bs,
                            preferred_element_type=Lx.dtype)
             newP = jnp.concatenate([C, Bm], axis=1)
         else:
@@ -271,18 +277,20 @@ def _a_sorted_maps(ss: SuperSymbolic):
     return maps
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _numeric_program(vals, a_src, a_dst, level_arrays, meta, total,
-                     segsum=True):
+                     segsum=True, syrk_bf16=False):
     """The full numeric factorization as ONE compiled program: sorted
     A-assembly (a unique+sorted set into the zero panel buffer) followed by
     the level schedule.  Reused verbatim across refactorizations."""
     Lx = jnp.zeros(total + 1, dtype=vals.dtype)
     Lx = Lx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
                           unique_indices=True, mode="promise_in_bounds")
-    step = _level_step_segsum if segsum else _level_step
     for li in range(len(meta)):
-        Lx = step(Lx, level_arrays[li], meta[li])
+        if segsum:
+            Lx = _level_step_segsum(Lx, level_arrays[li], meta[li], syrk_bf16)
+        else:
+            Lx = _level_step(Lx, level_arrays[li], meta[li])
     return Lx
 
 
@@ -371,7 +379,8 @@ def factorize_super(A: SparseCSC, sym: Symbolic, ss: SuperSymbolic,
     arrays = plan.arrays_segsum(dtype) if segsum else plan.arrays(dtype)
     Lx = _numeric_program(jnp.asarray(vals), jnp.asarray(a_src),
                           jnp.asarray(a_dst), arrays, plan.meta,
-                          plan.total, segsum)
+                          plan.total, segsum,
+                          segsum and cm.cholesky.syrk_bf16)
     Lx.block_until_ready()
     t = cm.toc("factorize")
 

@@ -49,6 +49,10 @@ class CholeskyOptions:
     # SURVEY.md §2b item 4: "the knob to retarget at 128x128 MXU tiles").
     nrelax: tuple[int, int, int] = (16, 64, 160)
     zrelax: tuple[float, float, float] = (0.9, 0.25, 0.10)
+    # SYRK descendant updates with bf16 inputs + f32 accumulation (full-rate
+    # MXU).  Opt-in: pairs with iterative refinement for accuracy (no
+    # reference analog; TPU mixed-precision knob).
+    syrk_bf16: bool = False
     # AMD dense-row handling (amd.h:140-148): rows with > dense*sqrt(n)
     # entries are deferred to the end of the order.
     amd_dense: float = 10.0

@@ -230,6 +230,10 @@ class QRNumeric:
     rank: int
     tol: float
     dtype: object
+    # per-(level, bucket) complete-mode front Q blocks (B, FR, FR), host —
+    # the TPU-native analog of SPQR's Householder (H/HTau/HPinv) storage;
+    # present only when factorized with keep_q=True (enables qr_qmult).
+    Qs: Optional[list] = None
 
     @property
     def ok(self) -> bool:
@@ -238,9 +242,14 @@ class QRNumeric:
 
 def qr_factorize(A: SparseCSC, S: QRSymbolic, b: Optional[np.ndarray] = None,
                  common: Optional[Common] = None, tol: Optional[float] = None,
-                 dtype=None) -> QRNumeric:
+                 dtype=None, keep_q: bool = False) -> QRNumeric:
     """Numeric multifrontal QR; optionally carries B through to give Q'B
-    (the SPQR backslash path)."""
+    (the SPQR backslash path).
+
+    keep_q=True retains the per-front complete-mode Q blocks so Q can be
+    applied after the fact (qr_qmult / SuiteSparseQR_qmult,
+    SPQR/Source/SuiteSparseQR_qmult.cpp) — the TPU-native equivalent of
+    returning Q in Householder form."""
     cm = common or default_common()
     cm.tic("qr_factorize")
     if dtype is None:
@@ -251,30 +260,38 @@ def qr_factorize(A: SparseCSC, S: QRSymbolic, b: Optional[np.ndarray] = None,
     import scipy.sparse as sp
     Sc = A.to_scipy().tocsc()[:, S.sym.perm]
     ApT = Sc.tocsr()
+    if np.iscomplexobj(ApT.data) and not np.issubdtype(np.dtype(dtype),
+                                                       np.complexfloating):
+        dtype = np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
     avals = jnp.asarray(ApT.data.astype(dtype))
 
+    is_complex = np.issubdtype(np.dtype(dtype), np.complexfloating)
     # default tol = 20*(m+n)*eps*max column 2-norm (spqr_tol.cpp)
     if tol is None:
         tol = cm.qr.tol
     if tol is None:
-        colnorm = np.sqrt(np.asarray(Sc.power(2).sum(axis=0)).ravel())
-        tol = 20.0 * (m + n) * np.finfo(np.dtype(dtype)).eps * max(
-            colnorm.max(initial=0.0), 1e-300)
+        colnorm = np.sqrt(np.asarray(abs(Sc).power(2).sum(axis=0)).ravel())
+        eps = np.finfo(np.dtype(dtype).type(0).real.dtype).eps
+        tol = 20.0 * (m + n) * eps * max(colnorm.max(initial=0.0), 1e-300)
 
     bk = None
     k = 1
+    host_dt = np.complex128 if is_complex else np.float64
     if b is not None:
-        b = np.asarray(b, dtype=np.float64)
+        b = np.asarray(b, dtype=host_dt)
         bk = b.reshape(m, -1)
         k = bk.shape[1]
 
     Rbuf = jnp.full(S.total_R + 1, 0.0, dtype=dtype)
     Cbuf = jnp.zeros(S.total_C + 1, dtype=dtype)
     CBbuf = jnp.zeros((S.total_CB + 1, k), dtype=dtype)
-    qtb = np.zeros((n, k))
+    qtb = np.zeros((n, k), dtype=host_dt)
     rank = 0
+    Qs: Optional[list] = [] if keep_q else None
 
     for li, lv in enumerate(S.levels):
+        if keep_q:
+            Qs.append([])
         for bq in lv:
             B = len(bq.sids)
             W = jnp.zeros(B * bq.FR * bq.FC, dtype=dtype)
@@ -295,8 +312,10 @@ def qr_factorize(A: SparseCSC, S: QRSymbolic, b: Optional[np.ndarray] = None,
                     CBbuf[jnp.asarray(bq.c_brow_src)])
             FB = WB.reshape(B, bq.FR, k)
 
-            Q, R = jnp.linalg.qr(F, mode="reduced")    # (B,FR,mn),(B,mn,FC)
-            QtB = jnp.einsum("brm,brk->bmk", Q, FB,
+            Q, R = jnp.linalg.qr(F, mode="complete" if keep_q else "reduced")
+            if keep_q:
+                Qs[-1].append(np.asarray(Q))           # (B, FR, FR)
+            QtB = jnp.einsum("brm,brk->bmk", jnp.conj(Q), FB,
                              preferred_element_type=dtype)
             mn = R.shape[1]
             # write R rows into panels (pad rows beyond are zero)
@@ -329,7 +348,7 @@ def qr_factorize(A: SparseCSC, S: QRSymbolic, b: Optional[np.ndarray] = None,
     # rank from |diag(R)|
     h = np.asarray(Rbuf)
     ss = S.ss
-    diag = np.zeros(n)
+    diag = np.zeros(n, dtype=host_dt)
     for s in range(ss.nsuper):
         ms, ns_ = ss.panel_shape(s)
         Np, Mp = int(ss.panel_Np[s]), int(ss.panel_Mp[s])
@@ -342,7 +361,150 @@ def qr_factorize(A: SparseCSC, S: QRSymbolic, b: Optional[np.ndarray] = None,
     cm.info.update({"qr_rank": rank, "qr_tol": tol,
                     "qr_time": cm.toc("qr_factorize")})
     return QRNumeric(symbolic=S, Rbuf=Rbuf, qtb=qtb, rank=rank, tol=tol,
-                     dtype=dtype)
+                     dtype=dtype, Qs=Qs)
+
+
+# ---------------------------------------------------------------------------
+# Applying Q after the fact (SuiteSparseQR_qmult, SPQR qmult methods
+# SuiteSparseQR_definitions.h:32-36: QTX / QX / XQT / XQ)
+# ---------------------------------------------------------------------------
+
+def _q_out_layout(S: QRSymbolic):
+    """Global output-row layout of Q'X.
+
+    The multifrontal orthogonal map sends the m input rows to:
+      rows 0..n-1     — R's rows, aligned with the (permuted) columns;
+      then per-front residual slots (front rows beyond pivot+carried —
+      zero rows of R, the least-squares residual space);
+      then passthrough slots for A rows never assembled (structurally
+      zero rows of A, on which Q acts as identity).
+    Fronts with fewer rows than pivotal columns leave their dead pivotal
+    slots structurally zero, so the map is an isometry R^m -> R^{n_out}
+    with n_out >= m (n_out == m when every pivotal slot is populated).
+    Returns (out_dst per level/bucket (B, FR) with -1 = carried/pad row,
+    n_out, passthrough_rows).
+    """
+    cached = getattr(S, "_q_layout", None)
+    if cached is not None:
+        return cached
+    n = S.n
+    res_base = n
+    out_maps = []
+    assembled = []
+    for lv in S.levels:
+        row = []
+        for bq in lv:
+            B, FR = len(bq.sids), bq.FR
+            od = np.full((B, FR), -1, dtype=INDEX)
+            for b in range(B):
+                fr = int(bq.fr[b])
+                ns_b = int(bq.ns[b])
+                npiv = min(ns_b, fr)
+                od[b, :npiv] = bq.colidx[b, :npiv]
+                ncarry = int((bq.cb_out_dst[b] < S.total_CB).sum())
+                nres = max(0, fr - ns_b - ncarry)
+                if nres:
+                    od[b, ns_b + ncarry:fr] = res_base + np.arange(nres)
+                    res_base += nres
+            row.append(od)
+        out_maps.append(row)
+    for rows in S.arow_of_front:
+        assembled.append(rows)
+    assembled = (np.concatenate(assembled) if assembled
+                 else np.empty(0, dtype=INDEX))
+    passthrough = np.setdiff1d(np.arange(S.m, dtype=INDEX), assembled)
+    n_out = res_base + len(passthrough)
+    S._q_layout = (out_maps, int(n_out), passthrough)
+    return S._q_layout
+
+
+def qr_qmult(num: QRNumeric, X: np.ndarray, method: str = "QTX") -> np.ndarray:
+    """Apply the orthogonal factor: Q'X, QX, XQ', or XQ
+    (SuiteSparseQR_qmult; requires qr_factorize(..., keep_q=True)).
+
+    Q'X maps (m, k) -> (n_out, k) in the _q_out_layout row order;
+    QX maps (n_out, k) -> (m, k).  qmult(QX, qmult(QTX, X)) == X.
+    """
+    if num.Qs is None:
+        raise SparseError(Status.INVALID,
+                          "qr_qmult needs qr_factorize(..., keep_q=True)")
+    if method == "XQT":      # X Q^H = (Q X^H)^H
+        return np.conj(qr_qmult(num, np.conj(np.asarray(X)).T, "QX")).T
+    if method == "XQ":       # X Q = (Q^H X^H)^H
+        return np.conj(qr_qmult(num, np.conj(np.asarray(X)).T, "QTX")).T
+    if method not in ("QTX", "QX"):
+        raise ValueError(f"unknown qmult method {method!r}")
+    S = num.symbolic
+    out_maps, n_out, passthrough = _q_out_layout(S)
+    dt = np.result_type(np.asarray(X).dtype, num.dtype, np.float64)
+    X = np.asarray(X, dtype=dt)
+    one_d = X.ndim == 1
+    Xk = X.reshape(X.shape[0], -1)
+    k = Xk.shape[1]
+    CB = np.zeros((S.total_CB + 1, k), dtype=dt)
+
+    if method == "QTX":
+        if Xk.shape[0] != S.m:
+            raise ValueError(f"QTX expects {S.m} rows, got {Xk.shape[0]}")
+        Y = np.zeros((n_out, k), dtype=dt)
+        if len(passthrough):
+            Y[n_out - len(passthrough):] = Xk[passthrough]
+        for li, lv in enumerate(S.levels):
+            for bi, bq in enumerate(lv):
+                B, FR = len(bq.sids), bq.FR
+                Q = num.Qs[li][bi]
+                FB = np.zeros((B * FR, k), dtype=dt)
+                br = bq.b_rows.reshape(-1)
+                ok = br >= 0
+                FB[np.where(ok)[0]] = Xk[br[ok]]
+                if len(bq.c_brow_src):
+                    FB[bq.c_brow_dst] = CB[bq.c_brow_src]
+                QtB = np.einsum("brm,brk->bmk", np.conj(Q.astype(dt)),
+                                FB.reshape(B, FR, k))
+                flat = QtB.reshape(B * FR, k)
+                # invalid slots point at the trash row (== total_CB)
+                CB[bq.cb_out_dst.reshape(-1)] = flat
+                od = out_maps[li][bi].reshape(-1)
+                ok2 = od >= 0
+                Y[od[ok2]] = flat[ok2]
+        return Y[:, 0] if one_d else Y
+
+    # QX: reverse replay, root first
+    if Xk.shape[0] != n_out:
+        raise ValueError(f"QX expects {n_out} rows, got {Xk.shape[0]}")
+    Y = np.zeros((S.m, k), dtype=dt)
+    if len(passthrough):
+        Y[passthrough] = Xk[n_out - len(passthrough):]
+    for li in range(len(S.levels) - 1, -1, -1):
+        for bi, bq in enumerate(S.levels[li]):
+            B, FR = len(bq.sids), bq.FR
+            Q = num.Qs[li][bi]
+            OutB = np.zeros((B * FR, k), dtype=dt)
+            od = out_maps[li][bi].reshape(-1)
+            ok2 = od >= 0
+            OutB[ok2] = Xk[od[ok2]]
+            cbd = bq.cb_out_dst.reshape(-1)
+            okc = cbd < S.total_CB
+            OutB[okc] = CB[cbd[okc]]
+            BQ = np.einsum("brm,bmk->brk", Q.astype(dt),
+                           OutB.reshape(B, FR, k))
+            flat = BQ.reshape(B * FR, k)
+            br = bq.b_rows.reshape(-1)
+            ok = br >= 0
+            Y[br[ok]] = flat[np.where(ok)[0]]
+            if len(bq.c_brow_src):
+                CB[bq.c_brow_src] = flat[bq.c_brow_dst]
+    return Y[:, 0] if one_d else Y
+
+
+def qr_q(num: QRNumeric, econ: bool = True) -> np.ndarray:
+    """Explicit dense orthogonal factor (SuiteSparseQR's 'output Q as a
+    sparse matrix' option; dense here — intended for modest m).  econ=True
+    returns the first n columns (A[:,E] = Q_econ @ R)."""
+    S = num.symbolic
+    Qt = qr_qmult(num, np.eye(S.m), "QTX")     # (n_out, m) = Q^H
+    Q = np.conj(Qt).T
+    return Q[:, :S.n] if econ and S.n <= Q.shape[1] else Q
 
 
 def qr_rsolve(num: QRNumeric, c: np.ndarray, dead_zero: bool = True) -> np.ndarray:
@@ -352,14 +514,15 @@ def qr_rsolve(num: QRNumeric, c: np.ndarray, dead_zero: bool = True) -> np.ndarr
     ss = S.ss
     n = S.n
     h = np.asarray(num.Rbuf)
-    x = np.array(c, dtype=np.float64, copy=True)
+    dt = np.result_type(h.dtype, np.float64)
+    x = np.array(c, dtype=dt, copy=True)
     one_d = x.ndim == 1
     xk = x.reshape(n, -1)
     for s in range(ss.nsuper - 1, -1, -1):
         ms, ns_ = ss.panel_shape(s)
         Np, Mp = int(ss.panel_Np[s]), int(ss.panel_Mp[s])
         o = int(ss.panel_off[s])
-        pn = h[o:o + Mp * Np].reshape(Mp, Np).astype(np.float64)
+        pn = h[o:o + Mp * Np].reshape(Mp, Np).astype(dt)
         j1 = int(ss.super[s])
         rows_s = ss.rows_of(s)
         beyond = rows_s[ns_:]
@@ -384,20 +547,83 @@ def qr_rsolve(num: QRNumeric, c: np.ndarray, dead_zero: bool = True) -> np.ndarr
     return x.reshape(-1) if one_d else xk
 
 
+def qr_rtsolve(num: QRNumeric, c: np.ndarray) -> np.ndarray:
+    """y = R^H \\ c (forward substitution on the adjoint of the upper
+    factor, in the permuted column space); dead columns (|diag| <= tol)
+    get y=0 — the spqr_rsolve transpose path used by min2norm."""
+    S = num.symbolic
+    ss = S.ss
+    n = S.n
+    h = np.asarray(num.Rbuf)
+    dt = np.result_type(h.dtype, np.float64)
+    x = np.array(c, dtype=dt, copy=True)
+    one_d = x.ndim == 1
+    xk = x.reshape(n, -1)
+    import scipy.linalg as sla
+    for s in range(ss.nsuper):
+        ms, ns_ = ss.panel_shape(s)
+        Np, Mp = int(ss.panel_Np[s]), int(ss.panel_Mp[s])
+        o = int(ss.panel_off[s])
+        # panels store R^T; conjugate gives R^H blocks
+        pn = np.conj(h[o:o + Mp * Np].reshape(Mp, Np).astype(dt))
+        j1 = int(ss.super[s])
+        beyond = ss.rows_of(s)[ns_:]
+        R11h = pn[:ns_, :ns_].copy()          # R11^H, lower triangular
+        rhs = xk[j1:j1 + ns_].copy()
+        d = np.diag(R11h)
+        dead = np.abs(d) <= num.tol
+        if dead.any():
+            R11h[dead, :] = 0.0
+            R11h[:, dead] = 0.0
+            R11h[dead, dead] = 1.0
+            rhs[dead] = 0.0
+        y = sla.solve_triangular(R11h, rhs, lower=True)
+        xk[j1:j1 + ns_] = y
+        if len(beyond):
+            R12h = pn[Np:Np + (ms - ns_), :ns_]   # (R^H) rows beyond cols
+            xk[beyond] -= R12h @ y
+    return x.reshape(-1) if one_d else xk
+
+
+def qr_min2norm(A: SparseCSC, b: np.ndarray,
+                common: Optional[Common] = None,
+                tol: Optional[float] = None) -> np.ndarray:
+    """Minimum 2-norm solution of an underdetermined system Ax=b (m < n):
+    QR of A^H (SuiteSparseQR_min2norm) — A^H P = Q R, so A = P' R^H Q^H
+    and x = Q (R^{-H} P'b) lies in A's row space."""
+    cm = common or default_common()
+    m, n = A.shape
+    Af = A.to_full_storage() if A.stype != 0 else A
+    At = Af.transpose(values=True, conjugate=True)
+    S = qr_symbolic(At, cm)
+    num = qr_factorize(At, S, common=cm, tol=tol, keep_q=True)
+    dt = np.result_type(num.dtype, np.float64)
+    b = np.asarray(b, dtype=dt)
+    one_d = b.ndim == 1
+    bk = b.reshape(m, -1)
+    z = qr_rtsolve(num, bk[S.sym.perm])       # R^H z = P' b
+    _, n_out, _ = _q_out_layout(S)
+    zfull = np.zeros((n_out, bk.shape[1]), dtype=dt)
+    zfull[:m] = z                              # pivotal slots = rows of R
+    x = qr_qmult(num, zfull, "QX")
+    return x[:, 0] if one_d else x
+
+
 def qr_solve(A: SparseCSC, b: np.ndarray,
              common: Optional[Common] = None,
              tol: Optional[float] = None) -> np.ndarray:
-    """SuiteSparseQR-style least squares: min ||Ax - b||_2 (m >= n);
-    rank-deficient A gets the basic solution (dead columns zeroed)."""
+    """SuiteSparseQR-style backslash: least squares min ||Ax - b||_2 for
+    m >= n (rank-deficient A gets the basic solution, dead columns zeroed);
+    minimum 2-norm solution via QR of A' for m < n
+    (SPQR/Source/SuiteSparseQR.cpp backslash dispatch)."""
     cm = common or default_common()
     m, n = A.shape
     if m < n:
-        raise NotImplementedError(
-            "underdetermined min2norm (QR of A') lands next round")
+        return qr_min2norm(A, b, common=cm, tol=tol)
     S = qr_symbolic(A, cm)
     num = qr_factorize(A, S, b=b, common=cm, tol=tol)
-    xq = qr_rsolve(num, num.qtb if np.asarray(b).ndim > 1
-                   else num.qtb[:, 0])
-    x = np.empty_like(np.asarray(xq, dtype=np.float64))
+    xq = np.asarray(qr_rsolve(num, num.qtb if np.asarray(b).ndim > 1
+                              else num.qtb[:, 0]))
+    x = np.empty_like(xq)
     x[S.sym.perm] = xq
     return x

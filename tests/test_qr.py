@@ -78,11 +78,18 @@ class TestQR:
         X_ref, *_ = np.linalg.lstsq(S.toarray(), B, rcond=None)
         assert np.abs(X - X_ref).max() < 1e-9
 
-    def test_underdetermined_raises(self):
-        S = _rand_tall(20, 40, 0.3, 6)[:20, :]
+    def test_min2norm_underdetermined(self):
+        """m < n: qr_solve gives the minimum 2-norm solution (QR of A')."""
+        rng = np.random.default_rng(6)
+        S = _rand_tall(40, 20, 0.3, 6).T.tocsc()    # 20 x 40, full row rank
         A = SparseCSC.from_scipy(sp.csc_matrix(S))
-        with pytest.raises(NotImplementedError):
-            qr_solve(A, np.ones(20))
+        b = rng.standard_normal(20)
+        x = qr_solve(A, b)
+        assert np.linalg.norm(S @ x - b, np.inf) < 1e-8
+        x_ref = np.linalg.pinv(S.toarray()) @ b      # min-norm solution
+        assert np.linalg.norm(x) == pytest.approx(np.linalg.norm(x_ref),
+                                                  rel=1e-8)
+        assert np.abs(x - x_ref).max() < 1e-8
 
     def test_tol_override(self):
         S = _rand_tall(40, 25, 0.3, 7)
@@ -90,3 +97,104 @@ class TestQR:
         cm = default_common()
         qr_solve(A, np.ones(40), cm, tol=1e30)   # everything "dead"
         assert cm.info["qr_rank"] == 0
+
+
+class TestQmult:
+    """SuiteSparseQR_qmult equivalents (keep_q=True retains front Qs)."""
+
+    def _factor(self, m=50, n=30, d=0.2, seed=8):
+        S = _rand_tall(m, n, d, seed)
+        A = SparseCSC.from_scipy(S)
+        Ssym = qr_symbolic(A)
+        num = qr_factorize(A, Ssym, keep_q=True)
+        return S, A, Ssym, num
+
+    def test_qtx_isometry_and_inverse(self):
+        from suitesparse_tpu.qr import qr_qmult
+        S, A, Ssym, num = self._factor()
+        rng = np.random.default_rng(8)
+        X = rng.standard_normal((50, 2))
+        Y = qr_qmult(num, X, "QTX")
+        # isometry: norms preserved columnwise
+        assert np.linalg.norm(Y, axis=0) == pytest.approx(
+            np.linalg.norm(X, axis=0), rel=1e-10)
+        # Q (Q' X) == X
+        Xr = qr_qmult(num, Y, "QX")
+        assert np.abs(Xr - X).max() < 1e-10
+
+    def test_qtx_reproduces_r(self):
+        """Q'A (cols permuted) has R in its pivotal rows."""
+        from suitesparse_tpu.qr import qr_qmult, qr_q
+        S, A, Ssym, num = self._factor(40, 25, 0.25, 9)
+        p = Ssym.sym.perm
+        QtA = qr_qmult(num, S[:, p].toarray(), "QTX")
+        n = 25
+        # below-pivotal rows of Q'A must vanish (R is upper-triangular n x n)
+        assert np.abs(QtA[n:]).max() < 1e-9
+        assert np.abs(np.tril(QtA[:n], -1)).max() < 1e-9
+        # explicit Q: A[:,p] == Q_econ R
+        Q = qr_q(num, econ=True)
+        assert np.abs(Q @ QtA[:n] - S[:, p].toarray()).max() < 1e-9
+        # orthonormal columns
+        assert np.abs(Q.T @ Q - np.eye(Q.shape[1])).max() < 1e-10
+
+    def test_xqt_xq_transposed_methods(self):
+        from suitesparse_tpu.qr import qr_qmult
+        S, A, Ssym, num = self._factor(35, 20, 0.3, 10)
+        rng = np.random.default_rng(10)
+        X = rng.standard_normal((4, 35))
+        XQ = qr_qmult(num, X, "XQ")          # (4, n_out)
+        back = qr_qmult(num, XQ, "XQT")      # X Q Q' = X
+        assert np.abs(back - X).max() < 1e-10
+
+    def test_qtb_matches_carried(self):
+        """qmult(QTX, b) pivotal rows == the carried Q'b from factorize."""
+        from suitesparse_tpu.qr import qr_qmult
+        S = _rand_tall(45, 30, 0.2, 11)
+        A = SparseCSC.from_scipy(S)
+        b = np.random.default_rng(11).standard_normal(45)
+        Ssym = qr_symbolic(A)
+        num = qr_factorize(A, Ssym, b=b, keep_q=True)
+        y = qr_qmult(num, b, "QTX")
+        assert np.abs(y[:30] - num.qtb[:, 0]).max() < 1e-8
+
+    def test_complex_qr_solve_and_qmult(self):
+        """Complex least squares + unitary qmult (SPQR <Complex> variant)."""
+        from suitesparse_tpu.qr import qr_qmult
+        rng = np.random.default_rng(13)
+        S = _rand_tall(50, 30, 0.2, 13).astype(complex)
+        S = S + 1j * sp.random(50, 30, density=0.1, random_state=rng,
+                               format="csc")
+        S = S.tocsc()
+        A = SparseCSC.from_scipy(S)
+        b = rng.standard_normal(50) + 1j * rng.standard_normal(50)
+        x = qr_solve(A, b)
+        x_ref, *_ = np.linalg.lstsq(S.toarray(), b, rcond=None)
+        assert np.abs(x - x_ref).max() < 1e-8
+        num = qr_factorize(A, qr_symbolic(A), keep_q=True)
+        X = rng.standard_normal((50, 2)) + 1j * rng.standard_normal((50, 2))
+        Y = qr_qmult(num, X, "QTX")
+        assert np.linalg.norm(Y, axis=0) == pytest.approx(
+            np.linalg.norm(X, axis=0), rel=1e-10)      # unitary
+        assert np.abs(qr_qmult(num, Y, "QX") - X).max() < 1e-10
+
+    def test_complex_min2norm(self):
+        from suitesparse_tpu.qr import qr_min2norm
+        rng = np.random.default_rng(14)
+        S = _rand_tall(45, 25, 0.25, 14).T.astype(complex)   # 25 x 45
+        S = (S + 1j * sp.random(25, 45, density=0.1, random_state=rng)).tocsc()
+        A = SparseCSC.from_scipy(S)
+        b = rng.standard_normal(25) + 1j * rng.standard_normal(25)
+        x = qr_min2norm(A, b)
+        assert np.linalg.norm(S @ x - b, np.inf) < 1e-8
+        x_ref = np.linalg.pinv(S.toarray()) @ b
+        assert np.abs(x - x_ref).max() < 1e-8
+
+    def test_qmult_requires_keep_q(self):
+        from suitesparse_tpu.qr import qr_qmult
+        from suitesparse_tpu.core.status import SparseError
+        S = _rand_tall(30, 20, 0.3, 12)
+        A = SparseCSC.from_scipy(S)
+        num = qr_factorize(A, qr_symbolic(A))
+        with pytest.raises(SparseError):
+            qr_qmult(num, np.ones(30), "QTX")
