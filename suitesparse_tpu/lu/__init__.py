@@ -1,6 +1,6 @@
 from .klu import (KLUSymbolic, KLUNumeric, klu_analyze, klu_factor,
                   klu_refactor, klu_solve, klu_rcond, klu_condest, klu_rgrowth)
 from .multifrontal import (UmfSymbolic, UmfNumeric, umf_symbolic, umf_numeric,
-                           umf_solve, umf_lunz, umf_determinant)
+                           umf_solve, umf_wsolve, umf_lunz, umf_determinant)
 from .slip import slip_backslash, slip_lu_analyze, slip_lu_factorize, slip_lu_solve
 from . import report

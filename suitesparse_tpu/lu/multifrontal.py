@@ -277,8 +277,11 @@ def umf_numeric(A: SparseCSC, S: UmfSymbolic,
     cm.tic("umf_numeric")
     if dtype is None:
         platform = next(iter(jnp.zeros(1).devices())).platform
-        dtype = (np.float64 if platform == "cpu" and jax.config.jax_enable_x64
-                 else np.float32)
+        use64 = platform == "cpu" and jax.config.jax_enable_x64
+        if A.data is not None and np.iscomplexobj(A.data):
+            dtype = np.complex128 if use64 else np.complex64
+        else:
+            dtype = np.float64 if use64 else np.float32
     n = S.n
     # row scaling (umfpack default: sum scaling, umfpack.h)
     from .klu import _row_scale
@@ -340,9 +343,10 @@ def _solve_arrays(S: UmfSymbolic, dtype):
     return S.plan.solve_arrays(dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
-def _lu_solve_impl(Lb, Ub, x, pivs, level_arrays, meta):
-    # forward: P_s then L11^{-1}, push into below rows
+@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
+def _lu_lsolve_impl(Lb, x, pivs, level_arrays, meta):
+    """Forward: y = L \\ (P_blk x) — per-supernode block pivots applied,
+    unit-lower solve, updates pushed into below rows (UMFPACK_L family)."""
     for li in range(len(meta)):
         for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
                 zip(level_arrays[li], meta[li])):
@@ -364,7 +368,12 @@ def _lu_solve_impl(Lb, Ub, x, pivs, level_arrays, meta):
                                  preferred_element_type=x.dtype)
                 x = x.at[ridx.reshape(-1)].add(
                     -upd.reshape(-1, upd.shape[-1]), mode="drop")
-    # backward: U
+    return x
+
+
+@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
+def _lu_usolve_impl(Lb, Ub, x, pivs, level_arrays, meta):
+    """Backward: y = U \\ x (UMFPACK_U family)."""
     for li in range(len(meta) - 1, -1, -1):
         for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
                 zip(level_arrays[li], meta[li])):
@@ -385,16 +394,16 @@ def _lu_solve_impl(Lb, Ub, x, pivs, level_arrays, meta):
     return x
 
 
-@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
-def _lu_tsolve_impl(Lb, Ub, x, pivs, level_arrays, meta):
-    """(PAQ)' y = z: forward with U' (lower), backward with L' (upper),
-    block pivots undone last per supernode."""
+@functools.partial(jax.jit, static_argnums=(5, 6), donate_argnums=(2,))
+def _lu_utsolve_impl(Lb, Ub, x, pivs, level_arrays, meta, conj=False):
+    """Forward: y = U^{T (or H)} \\ x — U' is lower (UMFPACK_Ut family)."""
+    cj = jnp.conj if conj else (lambda a: a)
     for li in range(len(meta)):
         for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
                 zip(level_arrays[li], meta[li])):
             Mp = Np + Mb
             PL = jax.lax.dynamic_slice(Lb, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
-            lu = PL[:, :Np, :]
+            lu = cj(PL[:, :Np, :])
             U11 = jnp.triu(lu) + jax.vmap(jnp.diag)(pe.astype(x.dtype))
             xc = x[cidx]
             xc = jax.lax.linalg.triangular_solve(U11, xc, left_side=True,
@@ -402,22 +411,30 @@ def _lu_tsolve_impl(Lb, Ub, x, pivs, level_arrays, meta):
             x = x.at[cidx].set(xc, mode="drop")
             if Mb:
                 PU = jax.lax.dynamic_slice(Ub, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
-                U12t = PU[:, Np:, :]             # (B, Mb, Np) = U12'
+                U12t = cj(PU[:, Np:, :])         # (B, Mb, Np) = U12'
                 upd = jnp.einsum("bmc,bck->bmk", U12t, xc,
                                  preferred_element_type=x.dtype)
                 x = x.at[ridx.reshape(-1)].add(
                     -upd.reshape(-1, upd.shape[-1]), mode="drop")
+    return x
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(1,))
+def _lu_ltsolve_impl(Lb, x, pivs, level_arrays, meta, conj=False):
+    """Backward: y = P_blk' (L^{T (or H)} \\ x) — block pivots undone last
+    per supernode (UMFPACK_Lt family)."""
+    cj = jnp.conj if conj else (lambda a: a)
     for li in range(len(meta) - 1, -1, -1):
         for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
                 zip(level_arrays[li], meta[li])):
             Mp = Np + Mb
             perm = pivs[li][bi]
             PL = jax.lax.dynamic_slice(Lb, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
-            lu = PL[:, :Np, :]
+            lu = cj(PL[:, :Np, :])
             L11 = jnp.tril(lu, -1) + jax.vmap(jnp.diag)(jnp.ones_like(pe))
             xc = x[cidx]
             if Mb:
-                L21 = PL[:, Np:, :]
+                L21 = cj(PL[:, Np:, :])
                 xr = x[ridx]
                 xc = xc - jnp.einsum("bmc,bmk->bck", L21, xr,
                                      preferred_element_type=x.dtype)
@@ -432,48 +449,125 @@ def _lu_tsolve_impl(Lb, Ub, x, pivs, level_arrays, meta):
     return x
 
 
+def _lu_solve_impl(Lb, Ub, x, pivs, level_arrays, meta):
+    x = _lu_lsolve_impl(Lb, x, pivs, level_arrays, meta)
+    return _lu_usolve_impl(Lb, Ub, x, pivs, level_arrays, meta)
+
+
+def _lu_tsolve_impl(Lb, Ub, x, pivs, level_arrays, meta, conj=False):
+    """(PAQ)^{T or H} y = z: forward with U', backward with L'."""
+    x = _lu_utsolve_impl(Lb, Ub, x, pivs, level_arrays, meta, conj)
+    return _lu_ltsolve_impl(Lb, x, pivs, level_arrays, meta, conj)
+
+
 def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
               refine: Optional[int] = None, A: Optional[SparseCSC] = None,
               common: Optional[Common] = None) -> np.ndarray:
-    """umfpack_*_solve: systems A (Ax=b), At (A'x=b) with optional iterative
-    refinement (needs the original A, like UMFPACK's stored-A requirement)."""
+    """umfpack_*_solve: the full solve-system set (umfpack.h:379-394).
+
+    With B = P R^{-1} A Q = L U (block pivots folded into L):
+      "A"    A x = b            "At"   A^H x = b      "Aat"  A^T x = b
+      "Pt_L" P'L x = b          "L"    L x = b
+      "Lt_P" L^H P x = b        "Lat_P" L^T P x = b
+      "Lt"   L^H x = b          "Lat"  L^T x = b
+      "U_Qt" U Q' x = b         "U"    U x = b
+      "Ut_Q" U^H Q x = b        "Uat_Q" U^T Q x = b
+      "Ut"   U^H x = b          "Uat"  U^T x = b
+    Iterative refinement (max cm.lu.refine_steps, omega criteria of
+    umf_solve.c:194-269) applies to the A/At/Aat systems when the original
+    A is supplied."""
     cm = common or default_common()
     S = num.symbolic
     n = S.n
-    b = np.asarray(b, dtype=np.float64)
+    host_dt = np.result_type(num.dtype, np.asarray(b).dtype, np.float64)
+    if not np.issubdtype(host_dt, np.complexfloating):
+        host_dt = np.float64
+    b = np.asarray(b, dtype=host_dt)
     one_d = b.ndim == 1
     bk = b.reshape(n, -1)
     k = bk.shape[1]
     la = _solve_arrays(S, num.dtype)
+    meta = S.plan.meta
+    is_c = np.issubdtype(np.dtype(num.dtype), np.complexfloating)
 
-    if system not in ("A", "At"):
-        raise SparseError(Status.INVALID, f"unknown system {system!r}")
+    def _pad(z):
+        x = jnp.zeros((n + 1, k), dtype=num.dtype)
+        return x.at[:n, :].set(jnp.asarray(z, dtype=num.dtype))
+
+    def _lsolve(z):
+        return np.asarray(_lu_lsolve_impl(num.Lb, _pad(z), num.pivs, la,
+                                          meta)[:n], dtype=host_dt)
+
+    def _usolve(z):
+        return np.asarray(_lu_usolve_impl(num.Lb, num.Ub, _pad(z), num.pivs,
+                                          la, meta)[:n], dtype=host_dt)
+
+    def _ltsolve(z, conj):
+        return np.asarray(_lu_ltsolve_impl(num.Lb, _pad(z), num.pivs, la,
+                                           meta, conj and is_c)[:n],
+                          dtype=host_dt)
+
+    def _utsolve(z, conj):
+        return np.asarray(_lu_utsolve_impl(num.Lb, num.Ub, _pad(z), num.pivs,
+                                           la, meta, conj and is_c)[:n],
+                          dtype=host_dt)
 
     def one_solve(rhs):
-        # A = R (PAQ-indexed S);  Ax=b  <=> S y = (b/R)[rows], x[cols] = y
+        # A = R (PAQ-indexed B);  Ax=b  <=> B y = (b/R)[rows], x[cols] = y
         z = (rhs / num.Rs[:, None])[S.a_perm_rows, :]
-        x = jnp.zeros((n + 1, k), dtype=num.dtype)
-        x = x.at[:n, :].set(jnp.asarray(z, dtype=num.dtype))
-        x = _lu_solve_impl(num.Lb, num.Ub, x, num.pivs, la, S.plan.meta)
-        out = np.empty((n, k))
-        out[S.a_perm_cols, :] = np.asarray(x[:n], dtype=np.float64)
+        y = _usolve(_lsolve(z))
+        out = np.empty((n, k), dtype=host_dt)
+        out[S.a_perm_cols, :] = y
         return out
 
-    def one_tsolve(rhs):
-        # A' x = b  <=>  S' y = b[cols],  x = (y scattered to rows)/R
+    def one_tsolve(rhs, conj):
+        # A^{H/T} x = b  <=>  B^{H/T} (P R x) = Q'b; Rs is real so the
+        # scaling needs no conjugation
         z = rhs[S.a_perm_cols, :]
-        x = jnp.zeros((n + 1, k), dtype=num.dtype)
-        x = x.at[:n, :].set(jnp.asarray(z, dtype=num.dtype))
-        x = _lu_tsolve_impl(num.Lb, num.Ub, x, num.pivs, la, S.plan.meta)
-        out = np.empty((n, k))
-        out[S.a_perm_rows, :] = np.asarray(x[:n], dtype=np.float64)
+        y = _ltsolve(_utsolve(z, conj), conj)
+        out = np.empty((n, k), dtype=host_dt)
+        out[S.a_perm_rows, :] = y
         return out / num.Rs[:, None]
 
-    solve_fn = one_solve if system == "A" else one_tsolve
+    if system == "A":
+        solve_fn = one_solve
+    elif system in ("At", "Aat"):
+        solve_fn = lambda rhs: one_tsolve(rhs, system == "At")
+    elif system in ("Pt_L", "L"):
+        z = bk[S.a_perm_rows] if system == "Pt_L" else bk
+        x = _lsolve(z)
+        return x[:, 0] if one_d else x
+    elif system in ("Lt_P", "Lat_P", "Lt", "Lat"):
+        y = _ltsolve(bk, system in ("Lt_P", "Lt"))
+        if system.endswith("_P"):
+            out = np.empty((n, k), dtype=host_dt)
+            out[S.a_perm_rows, :] = y
+            y = out
+        return y[:, 0] if one_d else y
+    elif system in ("U_Qt", "U"):
+        y = _usolve(bk)
+        if system == "U_Qt":
+            out = np.empty((n, k), dtype=host_dt)
+            out[S.a_perm_cols, :] = y
+            y = out
+        return y[:, 0] if one_d else y
+    elif system in ("Ut_Q", "Uat_Q", "Ut", "Uat"):
+        y = _utsolve(bk, system in ("Ut_Q", "Ut"))
+        if system.endswith("_Q"):
+            # U^{H} (Q x) = b: x = Q^{-1} y (gather through the col perm)
+            y = y[S.a_perm_cols]
+        return y[:, 0] if one_d else y
+    else:
+        raise SparseError(Status.INVALID, f"unknown system {system!r}")
+
     x = solve_fn(bk)
     steps = cm.lu.refine_steps if refine is None else refine
     if steps and A is not None:
-        Ssc = A.to_scipy() if system == "A" else A.to_scipy().T
+        Ssc = A.to_scipy()
+        if system == "At":
+            Ssc = Ssc.conj().T
+        elif system == "Aat":
+            Ssc = Ssc.T
         anorm = A.norm(np.inf)
         for it in range(steps):
             r = bk - Ssc @ x
@@ -484,6 +578,14 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
                 break
             x = x + solve_fn(r)
     return x.reshape(-1) if one_d else x
+
+
+def umf_wsolve(num: UmfNumeric, b: np.ndarray, W=None, system: str = "A",
+               **kw) -> np.ndarray:
+    """umfpack_*_wsolve: identical to umf_solve — the caller-provided
+    workspace contract (umfpack_wsolve.h) is meaningless under XLA buffer
+    management; W is accepted and ignored for API compatibility."""
+    return umf_solve(num, b, system=system, **kw)
 
 
 def umf_lunz(num: UmfNumeric) -> tuple[int, int]:
@@ -512,4 +614,6 @@ def umf_determinant(num: UmfNumeric) -> tuple[float, float]:
     logdet += np.sum(np.log(num.Rs))
     e = np.floor(logdet / np.log(10.0))
     m = sign * np.exp(logdet - e * np.log(10.0))
+    if np.iscomplexobj(m):
+        return complex(m), float(e)
     return float(m), float(e)

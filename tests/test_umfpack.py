@@ -136,3 +136,93 @@ class TestUmfTranspose:
         report.report_info(cm)
         assert any("umf symbolic" in l for l in lines)
         assert any("status" in l for l in lines)
+
+
+class TestUmfSystems:
+    """The umfpack.h:379-394 solve-system set + complex end-to-end."""
+
+    def _setup(self, n=120, seed=31):
+        A = generators.random_unsym(n, 0.06, seed=seed)
+        S = umf_symbolic(A)
+        num = umf_numeric(A, S)
+        return A, S, num
+
+    def test_piecewise_compose_equals_A(self):
+        A, S, num = self._setup()
+        n = A.ncol
+        rng = np.random.default_rng(31)
+        b = rng.standard_normal(n)
+        x_a = umf_solve(num, b, "A", refine=0)
+        # x = Q (U \ (L \ (P R^{-1} b)))
+        z = (b / num.Rs)[S.a_perm_rows]
+        y = umf_solve(num, umf_solve(num, z, "L"), "U")
+        x2 = np.empty(n)
+        x2[S.a_perm_cols] = y
+        assert np.abs(x2 - x_a).max() < 1e-10
+
+    def test_transpose_compose_equals_At(self):
+        A, S, num = self._setup(seed=32)
+        n = A.ncol
+        b = np.random.default_rng(32).standard_normal(n)
+        x_t = umf_solve(num, b, "At", refine=0)
+        z = b[S.a_perm_cols]
+        y = umf_solve(num, umf_solve(num, z, "Ut"), "Lt")
+        x2 = np.empty(n)
+        x2[S.a_perm_rows] = y
+        x2 /= num.Rs
+        assert np.abs(x2 - x_t).max() < 1e-10
+
+    def test_perm_system_variants(self):
+        A, S, num = self._setup(seed=33)
+        n = A.ncol
+        b = np.random.default_rng(33).standard_normal(n)
+        # Pt_L == L with P-permuted rhs
+        assert np.allclose(umf_solve(num, b, "Pt_L"),
+                           umf_solve(num, b[S.a_perm_rows], "L"))
+        # U_Qt scatters the U solve through the column perm
+        y = umf_solve(num, b, "U")
+        out = np.empty(n)
+        out[S.a_perm_cols] = y
+        assert np.allclose(umf_solve(num, b, "U_Qt"), out)
+        # Lt_P / Ut_Q roundtrips against their unpermuted versions
+        yl = umf_solve(num, b, "Lt")
+        outl = np.empty(n)
+        outl[S.a_perm_rows] = yl
+        assert np.allclose(umf_solve(num, b, "Lt_P"), outl)
+        assert np.allclose(umf_solve(num, b, "Ut_Q"),
+                           umf_solve(num, b, "Ut")[S.a_perm_cols])
+
+    def test_wsolve_alias(self):
+        A, S, num = self._setup(seed=34)
+        b = np.ones(A.ncol)
+        from suitesparse_tpu.lu import umf_wsolve
+        W = np.zeros(5 * A.ncol)
+        assert np.allclose(umf_wsolve(num, b, W=W, system="A", A=A),
+                           umf_solve(num, b, "A", A=A))
+
+    def test_complex_lu_end_to_end(self):
+        rng = np.random.default_rng(35)
+        import scipy.sparse as sp
+        n = 100
+        Sr = sp.random(n, n, density=0.05, random_state=rng, format="csc")
+        Si = sp.random(n, n, density=0.05, random_state=rng, format="csc")
+        S = (Sr + 1j * Si + sp.diags(np.full(n, 4.0 + 1.0j))).tocsc()
+        from suitesparse_tpu.core.sparse import SparseCSC
+        A = SparseCSC.from_scipy(S)
+        Ssym = umf_symbolic(A)
+        num = umf_numeric(A, Ssym)
+        b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        x = umf_solve(num, b, "A", A=A)
+        assert np.iscomplexobj(x)
+        assert np.linalg.norm(S @ x - b, np.inf) < 1e-8
+        # adjoint and plain-transpose systems differ and are both right
+        xh = umf_solve(num, b, "At", A=A)
+        xt = umf_solve(num, b, "Aat", A=A)
+        assert np.linalg.norm(S.conj().T @ xh - b, np.inf) < 1e-8
+        assert np.linalg.norm(S.T @ xt - b, np.inf) < 1e-8
+        assert np.abs(xh - xt).max() > 1e-6
+        # complex determinant magnitude vs dense
+        from suitesparse_tpu.lu import umf_determinant
+        m, e = umf_determinant(num)
+        ref = np.linalg.det(S.toarray())
+        assert abs(abs(m) * 10.0**e - abs(ref)) / abs(ref) < 1e-6
