@@ -2,4 +2,9 @@ from .core import (GrBMatrix, Monoid, Semiring, semiring, mxv, vxm, mxm,
                    ewise_add, ewise_mult, apply, select, reduce_rows,
                    reduce_scalar, transpose, kron, build, extract_tuples,
                    extract, assign, MONOIDS, BINOPS, UNARYOPS)
+from .objects import (Descriptor, GrBVector, Storage, MatrixIterator,
+                      iterate_entries, realize, to_csc, auto_format,
+                      HYPERSPARSE, SPARSE, BITMAP, FULL, BY_ROW, BY_COL,
+                      DESC_T0, DESC_T1, DESC_T0T1, DESC_C, DESC_S, DESC_R,
+                      DESC_RC, DESC_SC)
 from .algorithms import pagerank, bfs_levels, triangle_count

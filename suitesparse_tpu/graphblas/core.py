@@ -148,48 +148,120 @@ def _as_grb(A) -> GrBMatrix:
 # Operations
 # ---------------------------------------------------------------------------
 
+def _vec_dense(x, n):
+    from .objects import GrBVector
+    if isinstance(x, GrBVector):
+        return jnp.asarray(x.to_dense())
+    return jnp.asarray(x)
+
+
+def _apply_mask_vec(y, mask, desc, y0, identity):
+    """GrB output-mask semantics: keep masked entries; unmasked entries keep
+    the prior output (or are cleared under GrB_REPLACE)."""
+    if mask is None:
+        return y
+    md = np.asarray(mask)
+    if not getattr(desc, "mask_structure", False) and md.dtype != bool:
+        md = md != 0
+    if getattr(desc, "mask_complement", False):
+        md = ~md.astype(bool)
+    prior = identity if (y0 is None or getattr(desc, "replace", False)) \
+        else jnp.asarray(y0)
+    return jnp.where(jnp.asarray(md.astype(bool)), y, prior)
+
+
 def mxv(A, x, ring: Union[str, Semiring] = "plus_times",
         mask: Optional[np.ndarray] = None,
-        accum: Optional[str] = None, y0=None):
-    """y = A ⊕.⊗ x (GrB_mxm with a vector).  Runs as one fused
-    gather/⊗/segment-⊕ program on device."""
+        accum: Optional[str] = None, y0=None, desc=None):
+    """y = A ⊕.⊗ x (GrB_mxv).  Sparse A runs as one fused
+    gather/⊗/segment-⊕ program; bitmap/full A runs the dense MXU path.
+    desc: Descriptor (transpose0 applies A'; mask complement/structure/
+    replace per GrB_DESC semantics)."""
+    from .objects import Descriptor
+    desc = desc or Descriptor()
     ring = semiring(ring) if isinstance(ring, str) else ring
-    G = _as_grb(A)
-    m, n = G.shape
-    xd = jnp.asarray(x)
-
-    terms = ring.mult(G.vals, xd[G.cols])
-    y = ring.add.segment_reduce(terms, G.rows, m)
-    # rows with no entries get the monoid identity -> GrB semantics: empty
-    counts = jax.ops.segment_sum(jnp.ones_like(G.rows, dtype=jnp.int32),
-                                 G.rows, num_segments=m)
-    y = jnp.where(counts > 0, y, ring.add.identity)
+    if desc.transpose0:
+        return vxm(x, A, ring, mask=mask, accum=accum, y0=y0,
+                   desc=dataclasses.replace(desc, transpose0=False))
+    # dense storage fast path (bitmap/full): masked elementwise ⊗ then a
+    # row reduction — all MXU/VPU work, no gathers
+    from .objects import Storage, BITMAP, FULL
+    if isinstance(A, Storage) and A.fmt in (BITMAP, FULL):
+        m, n = A.shape
+        xd = _vec_dense(x, n)
+        D = jnp.asarray(A.dense)
+        t = ring.mult(D, xd[None, :])
+        if A.fmt == BITMAP:
+            t = jnp.where(jnp.asarray(A.mask), t, ring.add.identity)
+        red = {"plus": jnp.sum, "min": jnp.min, "max": jnp.max,
+               "times": jnp.prod}.get(ring.add.name, jnp.sum)
+        y = red(t, axis=1)
+    else:
+        G = _as_grb(A)
+        m, n = G.shape
+        xd = _vec_dense(x, n)
+        terms = ring.mult(G.vals, xd[G.cols])
+        y = ring.add.segment_reduce(terms, G.rows, m)
+        # rows with no entries get the monoid identity -> GrB: empty
+        counts = jax.ops.segment_sum(jnp.ones_like(G.rows, dtype=jnp.int32),
+                                     G.rows, num_segments=m)
+        y = jnp.where(counts > 0, y, ring.add.identity)
     if accum is not None and y0 is not None:
         y = BINOPS[accum](jnp.asarray(y0), y)
-    if mask is not None:
-        y = jnp.where(jnp.asarray(mask), y, 0.0 if y0 is None else jnp.asarray(y0))
-    return y
+    return _apply_mask_vec(y, mask, desc, y0, 0.0)
 
 
 def vxm(x, A, ring="plus_times", **kw):
     """y' = x' ⊕.⊗ A  ==  mxv with A transposed."""
+    from .objects import Storage
+    if isinstance(A, Storage):
+        A = _to_cscish(A)
     G = _as_grb(A)
     GT = GrBMatrix(G.cols, G.rows, G.vals, (G.shape[1], G.shape[0]))
     return mxv(GT, x, ring, **kw)
 
 
+def _to_cscish(A) -> SparseCSC:
+    from .objects import Storage, to_csc as _stc
+    if isinstance(A, Storage):
+        return _stc(A)
+    return A.to_csc() if isinstance(A, GrBMatrix) else A
+
+
 def mxm(A, B, ring: Union[str, Semiring] = "plus_times",
-        mask: Optional[SparseCSC] = None):
+        mask: Optional[SparseCSC] = None,
+        accum: Optional[str] = None, C0: Optional[SparseCSC] = None,
+        desc=None):
     """C = A ⊕.⊗ B (GrB_mxm).
 
     plus_times runs as host Gustavson (scipy) — the reference's saxpy3
     default; other semirings run the dot-product family on device over the
     *structural* product pattern (computed once on host), the analog of the
     reference's dot2/dot3 with a pattern mask (GB_AxB_meta.c policy).
+    desc.transpose0/1 transpose the inputs (GrB_DESC_T0/T1);
+    desc.mask_complement complements the mask pattern; accum folds into C0.
     """
+    from .objects import Descriptor
+    desc = desc or Descriptor()
     ring = semiring(ring) if isinstance(ring, str) else ring
-    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
-    Bc = B.to_csc() if isinstance(B, GrBMatrix) else B
+    Ac = _to_cscish(A)
+    Bc = _to_cscish(B)
+    if desc.transpose0:
+        Ac = Ac.transpose()
+    if desc.transpose1:
+        Bc = Bc.transpose()
+    if mask is not None and desc.mask_complement:
+        import scipy.sparse as sp
+        dense_present = np.ones((Ac.shape[0], Bc.shape[1]), dtype=bool)
+        r, c = mask.to_scipy().nonzero()
+        dense_present[r, c] = False
+        mask = SparseCSC.from_scipy(sp.csc_matrix(dense_present))
+    if accum is not None and C0 is not None:
+        C = mxm(Ac, Bc, ring, mask=mask,
+                desc=dataclasses.replace(desc, transpose0=False,
+                                         transpose1=False,
+                                         mask_complement=False))
+        return ewise_add(C0, C, op=accum)
     if ring.name == "plus_times" and mask is None:
         import scipy.sparse as sp
         C = (Ac.to_scipy() @ Bc.to_scipy()).tocsc()
@@ -247,10 +319,27 @@ def mxm(A, B, ring: Union[str, Semiring] = "plus_times",
                    (Ac.shape[0], Bc.shape[1])).to_csc()
 
 
-def ewise_add(A, B, op: str = "plus") -> SparseCSC:
-    """GrB_eWiseAdd: set-union combine."""
-    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
-    Bc = B.to_csc() if isinstance(B, GrBMatrix) else B
+def _apply_mask_mat(C: SparseCSC, mask, desc) -> SparseCSC:
+    """Output mask on a matrix result: keep entries where the mask pattern
+    is present (or absent under GrB_COMP)."""
+    if mask is None:
+        return C
+    from .objects import Descriptor
+    desc = desc or Descriptor()
+    import scipy.sparse as sp
+    present = mask.to_scipy() != 0
+    Sc = C.to_scipy().tocsc()
+    if desc.mask_complement:
+        keep = Sc.multiply(~present.toarray())
+    else:
+        keep = Sc.multiply(present)
+    return SparseCSC.from_scipy(sp.csc_matrix(keep))
+
+
+def ewise_add(A, B, op: str = "plus", mask=None, desc=None) -> SparseCSC:
+    """GrB_eWiseAdd: set-union combine (+ optional output mask)."""
+    Ac = _to_cscish(A)
+    Bc = _to_cscish(B)
     fn = BINOPS[op]
     import scipy.sparse as sp
     SA, SB = Ac.to_scipy().tocsc(), Bc.to_scipy().tocsc()
@@ -265,13 +354,15 @@ def ewise_add(A, B, op: str = "plus") -> SparseCSC:
     inb = np.asarray((SB != 0)[rows, cols]).ravel()
     vals = np.where(ina & inb, np.asarray(fn(jnp.asarray(a), jnp.asarray(b))),
                     np.where(ina, a, b))
-    return Triplet(rows.astype(INDEX), cols.astype(INDEX), vals, Ac.shape).to_csc()
+    C = Triplet(rows.astype(INDEX), cols.astype(INDEX), vals,
+                Ac.shape).to_csc()
+    return _apply_mask_mat(C, mask, desc)
 
 
-def ewise_mult(A, B, op: str = "times") -> SparseCSC:
-    """GrB_eWiseMult: set-intersection combine."""
-    Ac = A.to_csc() if isinstance(A, GrBMatrix) else A
-    Bc = B.to_csc() if isinstance(B, GrBMatrix) else B
+def ewise_mult(A, B, op: str = "times", mask=None, desc=None) -> SparseCSC:
+    """GrB_eWiseMult: set-intersection combine (+ optional output mask)."""
+    Ac = _to_cscish(A)
+    Bc = _to_cscish(B)
     fn = BINOPS[op]
     SA, SB = Ac.to_scipy().tocsc(), Bc.to_scipy().tocsc()
     pat = ((SA != 0).multiply(SB != 0)).tocsc()
@@ -282,7 +373,9 @@ def ewise_mult(A, B, op: str = "times") -> SparseCSC:
     a = np.asarray(SA[rows, cols]).ravel()
     b = np.asarray(SB[rows, cols]).ravel()
     vals = np.asarray(fn(jnp.asarray(a), jnp.asarray(b)))
-    return Triplet(rows.astype(INDEX), cols.astype(INDEX), vals, Ac.shape).to_csc()
+    C = Triplet(rows.astype(INDEX), cols.astype(INDEX), vals,
+                Ac.shape).to_csc()
+    return _apply_mask_mat(C, mask, desc)
 
 
 def apply(A, op: Union[str, Callable]) -> SparseCSC:
@@ -358,11 +451,20 @@ def kron(A, B, op: str = "times") -> SparseCSC:
 
 
 def build(rows, cols, vals, shape, dup: str = "plus") -> SparseCSC:
-    """GrB_Matrix_build (dup op applied to duplicates; 'plus' default)."""
-    if dup != "plus":
-        raise SparseError(Status.NOT_AVAILABLE, "only dup='plus' for now")
-    return Triplet(np.asarray(rows), np.asarray(cols), np.asarray(vals),
-                   shape).to_csc()
+    """GrB_Matrix_build: duplicates folded with the dup binop
+    (plus/times/min/max/first/second/any)."""
+    rows = np.asarray(rows, dtype=INDEX)
+    cols = np.asarray(cols, dtype=INDEX)
+    vals = np.asarray(vals)
+    if dup == "plus":
+        return Triplet(rows, cols, vals, shape).to_csc()
+    from .objects import _dup_fold
+    key = cols.astype(np.int64) * shape[0] + rows
+    order = np.argsort(key, kind="stable")
+    key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
+    uniq, start = np.unique(key, return_index=True)
+    folded = _dup_fold(vals, start, dup)
+    return Triplet(rows[start], cols[start], folded, shape).to_csc()
 
 
 def extract_tuples(A) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -178,3 +178,153 @@ class TestModels:
         assert np.abs(A.to_scipy() @ xout - b).max() < 1e-10
         assert ldl.ldl_valid_perm(25, f.perm)
         assert ldl.ldl_valid_matrix(A)
+
+
+class TestStorageFormats:
+    """The 8 storage variants + iso (GB_matrix.h:10-50) and conversions."""
+
+    def _mat(self, m=30, n=25, d=0.15, seed=40):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(seed)
+        S = sp.random(m, n, density=d, random_state=rng, format="csc")
+        return SparseCSC.from_scipy(S)
+
+    def test_roundtrip_all_formats(self):
+        from suitesparse_tpu.graphblas import realize, to_csc, BY_ROW, BY_COL
+        from suitesparse_tpu.graphblas.objects import FORMATS
+        A = self._mat()
+        ref = A.to_scipy().toarray()
+        for fmt in FORMATS:
+            for orient in (BY_ROW, BY_COL):
+                st = realize(A, fmt, orient)
+                back = to_csc(st).to_scipy().toarray()
+                assert np.allclose(back, ref), (fmt, orient)
+                assert st.nnz == A.nnz or fmt == "full"
+
+    def test_auto_format_heuristic(self):
+        from suitesparse_tpu.graphblas import auto_format
+        import scipy.sparse as sp
+        dense = SparseCSC.from_scipy(sp.csc_matrix(np.ones((10, 10))))
+        assert auto_format(dense) == "full"
+        half = SparseCSC.from_scipy(sp.random(20, 20, density=0.5,
+                                              format="csc", random_state=1))
+        assert auto_format(half) == "bitmap"
+        hyper = SparseCSC.from_scipy(sp.csc_matrix(
+            (np.ones(3), ([0, 1, 2], [0, 0, 0])), shape=(100, 100)))
+        assert auto_format(hyper) == "hypersparse"
+        assert auto_format(self._mat(100, 100, 0.01, 2)) in ("sparse",
+                                                             "hypersparse")
+
+    def test_iso_detection(self):
+        from suitesparse_tpu.graphblas import realize
+        import scipy.sparse as sp
+        S = sp.random(15, 15, density=0.2, random_state=3, format="csc")
+        S.data[:] = 7.0
+        st = realize(SparseCSC.from_scipy(S), "sparse")
+        assert st.iso and st.iso_value == 7.0
+        st2 = realize(self._mat(seed=4), "sparse")
+        assert not st2.iso
+
+    def test_mxv_dense_path_matches_sparse(self):
+        from suitesparse_tpu.graphblas import realize, mxv
+        A = self._mat(20, 20, 0.4, 5)
+        x = np.random.default_rng(5).standard_normal(20)
+        y_sparse = np.asarray(mxv(A, x))
+        for fmt in ("bitmap", "full"):
+            y_dense = np.asarray(mxv(realize(A, fmt), x))
+            assert np.allclose(y_dense, y_sparse), fmt
+        # non-plus_times semiring on the bitmap path
+        ymin = np.asarray(mxv(realize(A, "bitmap"), x, ring="min_plus"))
+        ymin_ref = np.asarray(mxv(A, x, ring="min_plus"))
+        assert np.allclose(ymin, ymin_ref)
+
+    def test_hypersparse_nonempty_list(self):
+        from suitesparse_tpu.graphblas import realize
+        import scipy.sparse as sp
+        S = sp.csc_matrix((np.ones(2), ([1, 5], [3, 9])), shape=(20, 50))
+        st = realize(SparseCSC.from_scipy(S), "hypersparse")
+        assert st.nonempty.tolist() == [3, 9]
+
+
+class TestDescriptorsVectorsIterators:
+    def _mat(self, seed=50):
+        import scipy.sparse as sp
+        S = sp.random(12, 12, density=0.3, random_state=seed, format="csc")
+        return SparseCSC.from_scipy(S), S
+
+    def test_descriptor_transpose_and_mask(self):
+        from suitesparse_tpu.graphblas import mxv, DESC_T0, Descriptor
+        A, S = self._mat()
+        x = np.arange(1.0, 13.0)
+        yt = np.asarray(mxv(A, x, desc=DESC_T0))
+        assert np.allclose(yt, S.T @ x)
+        mask = np.zeros(12, dtype=bool); mask[:6] = True
+        y = np.asarray(mxv(A, x, mask=mask))
+        assert np.allclose(y[:6], (S @ x)[:6]) and np.allclose(y[6:], 0.0)
+        yc = np.asarray(mxv(A, x, mask=mask,
+                            desc=Descriptor(mask_complement=True)))
+        assert np.allclose(yc[6:], (S @ x)[6:]) and np.allclose(yc[:6], 0.0)
+
+    def test_mxm_descriptor_and_accum(self):
+        from suitesparse_tpu.graphblas import mxm, Descriptor
+        A, S = self._mat(51)
+        B, T = self._mat(52)
+        C = mxm(A, B, desc=Descriptor(transpose0=True))
+        assert np.allclose(C.to_scipy().toarray(), (S.T @ T).toarray(),
+                           atol=1e-12)
+        C2 = mxm(A, B, accum="plus", C0=A)
+        assert np.allclose(C2.to_scipy().toarray(),
+                           (S + S @ T).toarray(), atol=1e-12)
+
+    def test_grb_vector(self):
+        from suitesparse_tpu.graphblas import GrBVector
+        v = GrBVector.build(10, [3, 1, 3], [1.0, 2.0, 5.0], dup="plus")
+        assert v.nnz == 2
+        d = v.to_dense()
+        assert d[3] == 6.0 and d[1] == 2.0 and d.sum() == 8.0
+        idx, vals = v.extract_tuples()
+        assert idx.tolist() == [1, 3]
+        v2 = GrBVector.build(5, [0, 0, 2], [4.0, 9.0, 1.0], dup="max")
+        assert v2.to_dense()[0] == 9.0
+        from suitesparse_tpu.graphblas import mxv
+        A, S = self._mat(53)
+        v3 = GrBVector.from_dense(np.ones(12))
+        assert np.allclose(np.asarray(mxv(A, v3)), S @ np.ones(12))
+
+    def test_iterators(self):
+        from suitesparse_tpu.graphblas import MatrixIterator, iterate_entries
+        A, S = self._mat(54)
+        ref = {(int(i), int(j)): S[i, j] for i, j in zip(*S.nonzero())}
+        seen = {(i, j): x for i, j, x in iterate_entries(A)}
+        assert seen.keys() == ref.keys()
+        assert all(abs(seen[k] - ref[k]) < 1e-15 for k in ref)
+        # row iteration covers every nonempty row once
+        it = MatrixIterator(A, "row")
+        rows = [r for r, idx, vals in it]
+        assert rows == sorted(set(S.tocsr().nonzero()[0].tolist()))
+        # stateful protocol
+        it2 = MatrixIterator(A, "entry")
+        it2.seek(0)
+        first = it2.next()
+        assert first is not None and len(first) == 3
+
+    def test_build_dup_ops(self):
+        from suitesparse_tpu.graphblas import build
+        C = build([0, 0, 1], [0, 0, 1], [3.0, 4.0, 5.0], (2, 2), dup="max")
+        D = C.to_scipy().toarray()
+        assert D[0, 0] == 4.0 and D[1, 1] == 5.0
+        C2 = build([0, 0], [0, 0], [3.0, 4.0], (2, 2), dup="first")
+        assert C2.to_scipy()[0, 0] == 3.0
+
+    def test_ewise_masks(self):
+        from suitesparse_tpu.graphblas import ewise_add, ewise_mult, Descriptor
+        import scipy.sparse as sp
+        A, S = self._mat(55)
+        B, T = self._mat(56)
+        mask = SparseCSC.from_scipy(sp.triu(sp.csc_matrix(np.ones((12, 12)))).tocsc())
+        C = ewise_add(A, B, mask=mask)
+        ref = np.triu((S + T).toarray())
+        assert np.allclose(C.to_scipy().toarray(), ref, atol=1e-12)
+        Cc = ewise_mult(A, B, mask=mask, desc=Descriptor(mask_complement=True))
+        ref2 = np.tril(np.asarray((S.multiply(T)).toarray()), -1)
+        assert np.allclose(Cc.to_scipy().toarray(), ref2, atol=1e-12)
