@@ -102,11 +102,18 @@ def distributed_level_step(mesh: Mesh, Lx: jax.Array, bucket,
     return step(Lx, ped, rmd, cmd, dd)
 
 
-def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32):
+def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32,
+                          root_2d_min: int = 256, root_2d_nb: int = 128):
     """Full supernodal factorization with every level sharded over `mesh`.
 
-    Returns (SuperFactor, residual-capable solve via solve_super on the
-    replicated result).
+    Two distribution regimes (SURVEY.md §7.6): wide levels are *batch*
+    sharded (independent supernodes across chips); a lone large root front
+    (B == 1, no below rows, Np >= root_2d_min) switches to the
+    column-block-cyclic distributed POTRF (parallel.block_cyclic) so the
+    sequential top of the etree also uses every chip.
+
+    Returns (SuperFactor, symbolic); solve via solve_super on the
+    replicated result.
     """
     from ..cholesky import analyze, super_symbolic
     from ..cholesky.super_numeric import (SuperFactor, _assemble_values,
@@ -126,8 +133,22 @@ def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32):
                                        indices_are_sorted=True,
                                        unique_indices=True,
                                        mode="promise_in_bounds")
+    from .block_cyclic import block_cyclic_cholesky
     for lv in plan.levels:
         for b in lv:
-            Lx = distributed_level_step(mesh, Lx, b, plan.total)
+            Np, Mb, B = b.Np, b.Mb, len(b.sids)
+            if (B == 1 and Mb == 0 and Np >= root_2d_min
+                    and mesh.devices.size > 1):
+                # lone root front: 2D block-cyclic POTRF over the mesh
+                base = int(b.base)
+                Pn = np.asarray(Lx[base:base + Np * Np],
+                                dtype=np.float64).reshape(Np, Np)
+                T = Pn + np.tril(Pn, -1).T + np.diag(b.padeye[0])
+                L = block_cyclic_cholesky(T, mesh, nb=root_2d_nb)
+                L = L * b.colmask[0][:, None] * b.colmask[0][None, :]
+                Lx = Lx.at[base:base + Np * Np].set(
+                    jnp.asarray(L.reshape(-1), dtype=dtype))
+            else:
+                Lx = distributed_level_step(mesh, Lx, b, plan.total)
     return SuperFactor(plan=plan, Lx=Lx, perm=sym.perm, minor=plan.n,
                        dtype=dtype), sym

@@ -49,3 +49,30 @@ class TestDistributed:
             f, _ = distributed_factorize(A, mesh, dtype=np.float64)
             b = np.ones(A.ncol)
             assert residual_norm(A, solve_super(f, b), b) < 1e-12, nd
+
+
+class TestBlockCyclic:
+    """Distributed 2D block-cyclic root-front Cholesky (SURVEY §7.6)."""
+
+    def test_matches_dense_cholesky(self):
+        from suitesparse_tpu.parallel.dist import make_mesh
+        from suitesparse_tpu.parallel.block_cyclic import block_cyclic_cholesky
+        rng = np.random.default_rng(60)
+        for N, nb in [(130, 32), (64, 64), (35, 8)]:
+            M = rng.standard_normal((N, N))
+            F = M @ M.T + N * np.eye(N)
+            L = block_cyclic_cholesky(F, make_mesh(8), nb=nb)
+            ref = np.linalg.cholesky(F)
+            assert np.abs(L - ref).max() / np.abs(ref).max() < 1e-12
+
+    def test_distributed_factorize_uses_2d_root(self):
+        from suitesparse_tpu.parallel.dist import make_mesh, distributed_factorize
+        from suitesparse_tpu.cholesky import solve_super, residual_norm
+        from suitesparse_tpu.io import generators
+        A = generators.laplacian_3d(6)
+        mesh = make_mesh(8)
+        f, sym = distributed_factorize(A, mesh, dtype=np.float64,
+                                       root_2d_min=8, root_2d_nb=8)
+        b = np.ones(A.ncol)
+        x = solve_super(f, b)
+        assert residual_norm(A, x, b) < 1e-10
