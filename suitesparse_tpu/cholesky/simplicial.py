@@ -79,6 +79,7 @@ def factorize_simplicial(A: SparseCSC, sym: Optional[Symbolic] = None,
     already-computed columns, emit L[k, :] and the pivot.
     """
     cm = common or default_common()
+    cm.checkpoint("simplicial")
     sym = sym or analyze(A, cm)
     cm.tic("factorize")
     n = sym.n

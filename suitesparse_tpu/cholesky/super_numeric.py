@@ -365,6 +365,7 @@ def factorize_super(A: SparseCSC, sym: Symbolic, ss: SuperSymbolic,
                     dtype=None) -> SuperFactor:
     """Numeric supernodal LL' of PAP' (values change, pattern fixed)."""
     cm = common or default_common()
+    cm.checkpoint("super_numeric")
     if dtype is None:
         platform = next(iter(jnp.zeros(1).devices())).platform
         use_f64 = platform == "cpu" and jax.config.jax_enable_x64

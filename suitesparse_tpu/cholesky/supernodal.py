@@ -141,6 +141,7 @@ def super_symbolic(A: SparseCSC, sym: Symbolic,
     cholmod_analyze does before super_symbolic.
     """
     cm = common or default_common()
+    cm.checkpoint("super_symbolic")
     opts = cm.cholesky
     n = sym.n
 

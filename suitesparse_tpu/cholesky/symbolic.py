@@ -73,6 +73,7 @@ def analyze(A: SparseCSC, common: Optional[Common] = None,
             perm: Optional[np.ndarray] = None) -> Symbolic:
     """cholmod_analyze: choose an ordering and build the symbolic factor."""
     cm = common or default_common()
+    cm.checkpoint("analyze")
     opts = cm.cholesky
     cm.tic("analyze")
     from ..core.sparse import sym_upper_view

@@ -122,6 +122,35 @@ class Common:
         if self.print_level >= level:
             self.print_func(msg)
 
+    # -- fault injection (the Tcov malloc-failure shim analog, SURVEY §4) --
+    # The reference's torture suites override malloc_func to fail on the
+    # N-th call, driving every out-of-memory branch.  Our resource
+    # checkpoints play that role: phases call cm.checkpoint("phase") at
+    # allocation-ish boundaries; an armed Common raises a graceful
+    # SparseError(OUT_OF_MEMORY) on the N-th checkpoint.
+    fail_after: Optional[int] = None    # arm: fail on the N-th checkpoint
+    _checkpoints: int = 0
+
+    def checkpoint(self, where: str = "") -> None:
+        if self.fail_after is None:
+            return
+        self._checkpoints += 1
+        if self._checkpoints > self.fail_after:
+            from .status import SparseError
+            self.status = Status.OUT_OF_MEMORY
+            raise SparseError(Status.OUT_OF_MEMORY,
+                              f"injected failure at checkpoint "
+                              f"{self._checkpoints} ({where})")
+
+    def arm_failure(self, after: int) -> None:
+        """Arm the injector: the (after+1)-th checkpoint raises."""
+        self.fail_after = after
+        self._checkpoints = 0
+
+    def disarm(self) -> None:
+        self.fail_after = None
+        self._checkpoints = 0
+
     # -- timers (SuiteSparse_tic/toc analog, SuiteSparse_config.h:139-154) --
     def tic(self, key: str) -> None:
         self.info[f"_tic_{key}"] = time.perf_counter()

@@ -74,6 +74,7 @@ class KLUNumeric:
 def klu_analyze(A: SparseCSC, common: Optional[Common] = None) -> KLUSymbolic:
     """BTF + per-block fill ordering (klu_analyze.c)."""
     cm = common or default_common()
+    cm.checkpoint("klu_analyze")
     n = A.ncol
     if A.nrow != n:
         raise SparseError(Status.INVALID, "klu needs a square matrix")
@@ -267,6 +268,7 @@ def klu_factor(A: SparseCSC, sym: KLUSymbolic,
                common: Optional[Common] = None) -> KLUNumeric:
     """Numeric LU of the BTF blocks (klu_factor.c)."""
     cm = common or default_common()
+    cm.checkpoint("klu_factor")
     cm.tic("klu_factor")
     n = sym.n
     tol = cm.lu.sym_pivot_tol        # klu default diagonal tol 0.001
@@ -327,6 +329,7 @@ def klu_refactor(A: SparseCSC, sym: KLUSymbolic, num: KLUNumeric,
     """Refactorize with the SAME pattern and pivot order, new values
     (klu_refactor.c — the circuit-simulation hot path)."""
     cm = common or default_common()
+    cm.checkpoint("klu_refactor")
     cm.tic("klu_refactor")
     n = sym.n
     Rs = _row_scale(A, cm.lu.scale if cm.lu.scale != "auto" else "max")

@@ -104,6 +104,7 @@ def umf_symbolic(A: SparseCSC, common: Optional[Common] = None) -> UmfSymbolic:
     """Strategy selection + static row matching + symmetrized supernodal
     analysis (umfpack_qsymbolic equivalent)."""
     cm = common or default_common()
+    cm.checkpoint("umf_symbolic")
     n = A.ncol
     if A.nrow != n:
         raise SparseError(Status.INVALID, "umf LU needs a square matrix")
@@ -274,6 +275,7 @@ class UmfNumeric:
 def umf_numeric(A: SparseCSC, S: UmfSymbolic,
                 common: Optional[Common] = None, dtype=None) -> UmfNumeric:
     cm = common or default_common()
+    cm.checkpoint("umf_numeric")
     cm.tic("umf_numeric")
     if dtype is None:
         platform = next(iter(jnp.zeros(1).devices())).platform
@@ -477,6 +479,7 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
     umf_solve.c:194-269) applies to the A/At/Aat systems when the original
     A is supplied."""
     cm = common or default_common()
+    cm.checkpoint("umf_solve")
     S = num.symbolic
     n = S.n
     host_dt = np.result_type(num.dtype, np.asarray(b).dtype, np.float64)

@@ -75,6 +75,7 @@ class QRSymbolic:
 
 def qr_symbolic(A: SparseCSC, common: Optional[Common] = None) -> QRSymbolic:
     cm = common or default_common()
+    cm.checkpoint("qr_symbolic")
     m, n = A.shape
     if A.stype != 0:
         A = A.to_full_storage()
@@ -251,6 +252,7 @@ def qr_factorize(A: SparseCSC, S: QRSymbolic, b: Optional[np.ndarray] = None,
     SPQR/Source/SuiteSparseQR_qmult.cpp) — the TPU-native equivalent of
     returning Q in Householder form."""
     cm = common or default_common()
+    cm.checkpoint("qr_factorize")
     cm.tic("qr_factorize")
     if dtype is None:
         platform = next(iter(jnp.zeros(1).devices())).platform
