@@ -198,3 +198,49 @@ class TestQmult:
         num = qr_factorize(A, qr_symbolic(A))
         with pytest.raises(SparseError):
             qr_qmult(num, np.ones(30), "QTX")
+
+
+class TestSpqrRank:
+    """spqr_rank utilities (MATLAB_Tools/spqr_rank analogs)."""
+
+    def test_null_basis_wide(self):
+        from suitesparse_tpu.models import spqr_null
+        S = _rand_tall(40, 22, 0.3, 80).T.tocsc()     # 22 x 40, rank 22
+        A = SparseCSC.from_scipy(S)
+        N = spqr_null(A)
+        assert N.shape == (40, 18)
+        assert np.abs(S @ N).max() < 1e-8             # A N = 0
+        assert np.abs(N.T @ N - np.eye(18)).max() < 1e-10   # orthonormal
+
+    def test_null_empty_for_full_rank_tall(self):
+        from suitesparse_tpu.models import spqr_null, spqr_rank
+        S = _rand_tall(50, 30, 0.2, 81)
+        A = SparseCSC.from_scipy(S)
+        assert spqr_null(A).shape == (30, 0)
+        assert spqr_rank(A) == 30
+
+    def test_pinv_matches_numpy(self):
+        from suitesparse_tpu.models import spqr_pinv
+        rng = np.random.default_rng(82)
+        # wide full-rank
+        S = _rand_tall(45, 25, 0.25, 82).T.tocsc()
+        A = SparseCSC.from_scipy(S)
+        b = rng.standard_normal(25)
+        x = spqr_pinv(A, b)
+        assert np.abs(x - np.linalg.pinv(S.toarray()) @ b).max() < 1e-8
+        # tall rank-deficient (duplicated column)
+        T = _rand_tall(50, 30, 0.3, 83).tolil()
+        T[:, 7] = T[:, 3]
+        T = T.tocsc()
+        A2 = SparseCSC.from_scipy(T)
+        b2 = rng.standard_normal(50)
+        x2 = spqr_pinv(A2, b2)
+        ref = np.linalg.pinv(T.toarray()) @ b2
+        assert np.abs(x2 - ref).max() < 1e-6
+
+    def test_rank_deficient_rank(self):
+        from suitesparse_tpu.models import spqr_rank
+        T = _rand_tall(40, 25, 0.3, 84).tolil()
+        T[:, 5] = 2.0 * T[:, 1]
+        A = SparseCSC.from_scipy(T.tocsc())
+        assert spqr_rank(A) == 24
