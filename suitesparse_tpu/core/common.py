@@ -79,6 +79,11 @@ class LUOptions:
     scale: str = "sum"                  # none | sum | max (UMFPACK default sum,
                                         # KLU default max)
     btf: bool = True                    # KLU: BTF preordering on by default
+    # UMFPACK singleton pruning (umf_singletons, umfpack_qsymbolic.c:1081):
+    # we generalize to full BTF block decomposition — 1x1 blocks are the
+    # singleton pivots, larger blocks get the multifrontal treatment —
+    # which avoids symmetrizing (near-)triangular parts of the pattern.
+    singletons: bool = True
     ordering: str = "auto"              # amd | colamd | auto | natural | given
     refine_steps: int = 2               # max iterative refinement (UMFPACK IRSTEP)
     halt_if_singular: bool = False      # klu.h:165

@@ -43,11 +43,24 @@ from ..cholesky.super_numeric import NumericPlan, build_plan
 
 
 @dataclasses.dataclass
+class UmfSingletons:
+    """Singleton/BTF decomposition payload (umf_singletons analog,
+    umfpack_qsymbolic.c:1081-1100, generalized to full BTF): PAQ is block
+    upper triangular; 1x1 blocks are singleton pivots, each larger block
+    carries its own inner UmfSymbolic."""
+
+    p: np.ndarray               # BTF row perm
+    q: np.ndarray               # BTF col perm
+    r: np.ndarray               # block boundaries (nblocks+1)
+    subs: list                  # per block: None (1x1) or (UmfSymbolic, Ablk)
+
+
+@dataclasses.dataclass
 class UmfSymbolic:
     """Reusable symbolic object (umfpack_*_symbolic analog)."""
 
     n: int
-    strategy: str               # "symmetric" | "unsymmetric"
+    strategy: str               # "symmetric" | "unsymmetric" | "btf"
     rowmatch: np.ndarray        # static row matching (row i of A -> position)
     sym: Symbolic               # fill ordering etc. of the symmetrized pattern
     ss: SuperSymbolic
@@ -58,6 +71,7 @@ class UmfSymbolic:
     a_perm_cols: np.ndarray
     sym_ratio: float
     nzdiag: int
+    singles: Optional[UmfSingletons] = None
 
 
 def _weighted_matching(A: SparseCSC) -> tuple[np.ndarray, int]:
@@ -111,6 +125,37 @@ def umf_symbolic(A: SparseCSC, common: Optional[Common] = None) -> UmfSymbolic:
     from ..core.sparse import symmetry
     sym_ratio, nzdiag = symmetry(A)
     opts = cm.lu
+
+    # -- singleton pruning (umf_singletons generalized to BTF blocks) ------
+    if opts.singletons and n > 1:
+        from ..graph.btf import btf_order
+        bt = btf_order(A)
+        nb = len(bt.r) - 1
+        if nb > 1:
+            import copy
+            import scipy.sparse as sp
+            Spq = A.to_scipy().tocsc()[bt.p][:, bt.q].tocsc()
+            cm2 = copy.deepcopy(cm)
+            cm2.lu.singletons = False
+            cm2.disarm()
+            subs = []
+            for k in range(nb):
+                r0, r1 = int(bt.r[k]), int(bt.r[k + 1])
+                if r1 - r0 == 1:
+                    subs.append(None)
+                else:
+                    Ablk = SparseCSC.from_scipy(
+                        sp.csc_matrix(Spq[r0:r1, r0:r1]))
+                    subs.append((umf_symbolic(Ablk, cm2), Ablk))
+            cm.info["umf_btf_blocks"] = nb
+            return UmfSymbolic(
+                n=n, strategy="btf", rowmatch=None, sym=None, ss=None,
+                plan=None, a_scatter_L=None, a_scatter_U=None,
+                a_perm_rows=bt.p, a_perm_cols=bt.q,
+                sym_ratio=sym_ratio, nzdiag=nzdiag,
+                singles=UmfSingletons(p=bt.p, q=bt.q,
+                                      r=np.asarray(bt.r, dtype=INDEX),
+                                      subs=subs))
     if opts.strategy == "auto":
         strategy = ("symmetric"
                     if sym_ratio >= opts.sym_threshold
@@ -266,6 +311,12 @@ class UmfNumeric:
     Rs: np.ndarray               # row scaling of original A
     dtype: object
     singular: bool
+    # BTF/singleton payload: per-block inner numerics (None for 1x1) plus
+    # the permuted matrix for singleton pivots and off-diagonal gaxpy
+    bnums: Optional[list] = None
+    bAs: Optional[list] = None   # per block: the current-value submatrix
+    Spq_csc: object = None
+    Spq_csr: object = None
 
     @property
     def ok(self) -> bool:
@@ -285,6 +336,40 @@ def umf_numeric(A: SparseCSC, S: UmfSymbolic,
         else:
             dtype = np.float64 if use64 else np.float32
     n = S.n
+
+    # -- BTF/singleton path: factor each block, keep PAQ for the solve ----
+    if S.singles is not None:
+        import scipy.sparse as sp
+        sg = S.singles
+        Spq = A.to_scipy().tocsc()[sg.p][:, sg.q].tocsc()
+        bnums = []
+        bAs = []
+        singular = False
+        tiny = np.finfo(np.float64).tiny
+        for k, sub in enumerate(sg.subs):
+            r0, r1 = int(sg.r[k]), int(sg.r[k + 1])
+            if sub is None:
+                piv = Spq[r0, r0]
+                if abs(piv) < tiny:
+                    singular = True
+                bnums.append(None)
+                bAs.append(None)
+            else:
+                ssym, _ = sub
+                # refactorization: values come from the CURRENT matrix
+                # (pattern fixed, umfpack numeric-reuse contract)
+                Ablk = SparseCSC.from_scipy(sp.csc_matrix(Spq[r0:r1, r0:r1]))
+                bn = umf_numeric(Ablk, ssym, cm, dtype=dtype)
+                singular |= bn.singular
+                bnums.append(bn)
+                bAs.append(Ablk)
+        cm.status = Status.SINGULAR if singular else Status.OK
+        t = cm.toc("umf_numeric")
+        cm.info.update({"umf_numeric_time": t, "umf_strategy": "btf"})
+        return UmfNumeric(symbolic=S, Lb=None, Ub=None, pivs=None,
+                          Rs=np.ones(n), dtype=dtype, singular=singular,
+                          bnums=bnums, bAs=bAs, Spq_csc=Spq,
+                          Spq_csr=Spq.tocsr())
     # row scaling (umfpack default: sum scaling, umfpack.h)
     from .klu import _row_scale
     Rs = _row_scale(A, cm.lu.scale)
@@ -489,9 +574,34 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
     one_d = b.ndim == 1
     bk = b.reshape(n, -1)
     k = bk.shape[1]
+    is_c = np.issubdtype(np.dtype(num.dtype), np.complexfloating)
+
+    if num.bnums is not None:
+        if system not in ("A", "At", "Aat"):
+            raise SparseError(
+                Status.NOT_AVAILABLE,
+                f"factor system {system!r} unavailable on the BTF/singleton "
+                f"path (blocks > 1); use A/At/Aat")
+        solve_fn = functools.partial(_btf_block_solve, num, system=system)
+        x = solve_fn(bk)
+        steps = cm.lu.refine_steps if refine is None else refine
+        if steps and A is not None:
+            Ssc = A.to_scipy()
+            Ssc = Ssc.conj().T if system == "At" else (
+                Ssc.T if system == "Aat" else Ssc)
+            anorm = A.norm(np.inf)
+            for it in range(steps):
+                r = bk - Ssc @ x
+                omega = np.abs(r).max() / max(
+                    anorm * np.abs(x).max() + np.abs(bk).max(), 1e-300)
+                cm.info[f"umf_omega_{it}"] = float(omega)
+                if omega < 1e-14:
+                    break
+                x = x + solve_fn(r)
+        return x.reshape(-1) if one_d else x
+
     la = _solve_arrays(S, num.dtype)
     meta = S.plan.meta
-    is_c = np.issubdtype(np.dtype(num.dtype), np.complexfloating)
 
     def _pad(z):
         x = jnp.zeros((n + 1, k), dtype=num.dtype)
@@ -583,6 +693,61 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
     return x.reshape(-1) if one_d else x
 
 
+def _btf_block_solve(num: UmfNumeric, bk: np.ndarray,
+                     system: str = "A") -> np.ndarray:
+    """Block substitution over the BTF form (klu_solve.c:207-219 shape).
+
+    M = PAQ is block UPPER triangular.  "A": solve M y = P b backward over
+    blocks with off-diagonal gaxpy, x = Q y.  "At"/"Aat": M^{H/T} z = Q' b
+    forward over blocks, x = P' z."""
+    S = num.symbolic
+    sg = S.singles
+    n = S.n
+    kk = bk.shape[1]
+    host_dt = bk.dtype
+    nb = len(sg.r) - 1
+    tiny = np.finfo(np.float64).tiny
+    y = np.zeros((n, kk), dtype=host_dt)
+    out = np.empty((n, kk), dtype=host_dt)
+
+    def inner(idx, rhs, sys):
+        bn = num.bnums[idx]
+        return umf_solve(bn, rhs, system=sys,
+                         A=num.bAs[idx]).reshape(rhs.shape)
+
+    if system == "A":
+        b2 = bk[sg.p]
+        Srow = num.Spq_csr
+        for kblk in range(nb - 1, -1, -1):
+            r0, r1 = int(sg.r[kblk]), int(sg.r[kblk + 1])
+            rhs = b2[r0:r1] - Srow[r0:r1, r1:] @ y[r1:]
+            if r1 - r0 == 1:
+                piv = num.Spq_csc[r0, r0]
+                y[r0] = rhs / (piv if abs(piv) >= tiny else tiny)
+            else:
+                y[r0:r1] = inner(kblk, rhs, "A")
+        out[sg.q] = y
+        return out
+
+    # transpose systems: M^{H/T} z = b[q], forward over blocks
+    conj = system == "At"
+    b2 = bk[sg.q]
+    Scol = num.Spq_csc
+    for kblk in range(nb):
+        r0, r1 = int(sg.r[kblk]), int(sg.r[kblk + 1])
+        above = Scol[:r0, r0:r1]
+        upd = (above.conj() if conj else above).T @ y[:r0] if r0 else 0.0
+        rhs = b2[r0:r1] - upd
+        if r1 - r0 == 1:
+            piv = Scol[r0, r0]
+            piv = np.conj(piv) if conj else piv
+            y[r0] = rhs / (piv if abs(piv) >= tiny else tiny)
+        else:
+            y[r0:r1] = inner(kblk, rhs, system)
+    out[sg.p] = y
+    return out
+
+
 def umf_wsolve(num: UmfNumeric, b: np.ndarray, W=None, system: str = "A",
                **kw) -> np.ndarray:
     """umfpack_*_wsolve: identical to umf_solve — the caller-provided
@@ -593,12 +758,39 @@ def umf_wsolve(num: UmfNumeric, b: np.ndarray, W=None, system: str = "A",
 
 def umf_lunz(num: UmfNumeric) -> tuple[int, int]:
     """umfpack_get_lunz analog: nnz estimates of L and U (dense panel counts)."""
+    if num.bnums is not None:
+        t = sum(int(bn.symbolic.plan.total) for bn in num.bnums
+                if bn is not None)
+        n1 = sum(1 for bn in num.bnums if bn is None)
+        return t + n1, t + n1
     t = int(num.symbolic.plan.total)
     return t, t
 
 
 def umf_determinant(num: UmfNumeric) -> tuple[float, float]:
     """umfpack_get_determinant: (mantissa, exponent10) of det(A)."""
+    if num.bnums is not None:
+        # product over blocks: 1x1 pivots and inner determinants
+        sg = num.symbolic.singles
+        logdet, sign = 0.0, 1.0
+        for k, bn in enumerate(num.bnums):
+            r0 = int(sg.r[k])
+            if bn is None:
+                piv = num.Spq_csc[r0, r0]
+                sign *= np.sign(piv) if piv != 0 else 0.0
+                logdet += np.log(max(abs(piv),
+                                     np.finfo(np.float64).tiny))
+            else:
+                m_k, e_k = umf_determinant(bn)
+                sign *= np.sign(m_k) if not np.iscomplexobj(np.asarray(m_k)) \
+                    else m_k / max(abs(m_k), 1e-300)
+                logdet += np.log(max(abs(m_k), 1e-300)) + e_k * np.log(10.0)
+        e = np.floor(logdet / np.log(10.0))
+        m = sign * np.exp(logdet - e * np.log(10.0))
+        # permutation parity omitted as in the single-block path (documented)
+        if np.iscomplexobj(m):
+            return complex(m), float(e)
+        return float(m), float(e)
     S = num.symbolic
     ss = S.ss
     h = np.asarray(num.Lb)

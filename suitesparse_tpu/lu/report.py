@@ -28,6 +28,13 @@ def report_info(common: Common) -> None:
 
 def report_symbolic(S, common=None) -> None:
     cm = common or default_common()
+    if S.singles is not None:
+        nb = len(S.singles.r) - 1
+        n1 = sum(1 for s in S.singles.subs if s is None)
+        cm.print_func(f"umf symbolic: n={S.n} strategy=btf blocks={nb} "
+                      f"singletons={n1} sym={S.sym_ratio:.3f} "
+                      f"nzdiag={S.nzdiag}")
+        return
     cm.print_func(f"umf symbolic: n={S.n} strategy={S.strategy} "
                   f"sym={S.sym_ratio:.3f} nzdiag={S.nzdiag} "
                   f"nsuper={S.ss.nsuper} levels={len(S.plan.levels)} "
@@ -36,6 +43,11 @@ def report_symbolic(S, common=None) -> None:
 
 def report_numeric(num, common=None) -> None:
     cm = common or default_common()
+    if num.bnums is not None:
+        cm.print_func(f"umf numeric: dtype={np.dtype(num.dtype).name} "
+                      f"singular={num.singular} "
+                      f"blocks={len(num.bnums)}")
+        return
     cm.print_func(f"umf numeric: dtype={np.dtype(num.dtype).name} "
                   f"singular={num.singular} panels={int(num.Lb.shape[0]) - 1}")
 

@@ -32,10 +32,15 @@ class TestUmf:
         A = generators.circuit_like(150, seed=3)
         S = umf_symbolic(A)
         assert S.strategy == "symmetric"
-        # wildly unsymmetric -> unsymmetric strategy + row matching
+        # wildly unsymmetric: BTF decomposes first (singleton pruning);
+        # the non-trivial blocks then pick the unsymmetric strategy
         B = generators.random_unsym(150, 0.03, seed=4)
         S2 = umf_symbolic(B)
-        assert S2.strategy == "unsymmetric"
+        if S2.strategy == "btf":
+            inner = [s for s in S2.singles.subs if s is not None]
+            assert all(s[0].strategy == "unsymmetric" for s in inner)
+        else:
+            assert S2.strategy == "unsymmetric"
 
     def test_matches_scipy(self):
         A = generators.random_unsym(180, 0.03, seed=5)
@@ -226,3 +231,64 @@ class TestUmfSystems:
         m, e = umf_determinant(num)
         ref = np.linalg.det(S.toarray())
         assert abs(abs(m) * 10.0**e - abs(ref)) / abs(ref) < 1e-6
+
+
+class TestUmfSingletons:
+    """Singleton pruning (umf_singletons analog, generalized to BTF)."""
+
+    def _triangularish(self, n=60, seed=90):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(seed)
+        # upper-triangular plus a dense-ish trailing block: plenty of
+        # column singletons for the peel
+        U = sp.triu(sp.random(n, n, density=0.06, random_state=rng)).tolil()
+        U.setdiag(np.arange(1.0, n + 1.0))
+        k = n - 12
+        blk = rng.standard_normal((12, 12)) + 12 * np.eye(12)
+        U[k:, k:] = blk
+        return SparseCSC.from_scipy(U.tocsc())
+
+    def test_singletons_found_and_solve_exact(self):
+        from suitesparse_tpu.core.common import default_common
+        A = self._triangularish()
+        cm = default_common()
+        S = umf_symbolic(A, cm)
+        assert S.strategy == "btf"
+        n1 = sum(1 for s in S.singles.subs if s is None)
+        assert n1 >= 40          # the triangular part peels to singletons
+        num = umf_numeric(A, S, cm)
+        b = np.arange(1.0, 61.0)
+        x = umf_solve(num, b, A=A, common=cm)
+        Ssc = A.to_scipy()
+        assert np.linalg.norm(Ssc @ x - b, np.inf) < 1e-10
+        xt = umf_solve(num, b, system="At", A=A, common=cm)
+        assert np.linalg.norm(Ssc.T @ xt - b, np.inf) < 1e-10
+
+    def test_singletons_off_matches(self):
+        from suitesparse_tpu.core.common import default_common
+        A = self._triangularish(seed=91)
+        b = np.ones(60)
+        cm = default_common()
+        cm.lu.singletons = False
+        S = umf_symbolic(A, cm)
+        assert S.strategy in ("symmetric", "unsymmetric")
+        x_off = umf_solve(umf_numeric(A, S, cm), b, A=A, common=cm)
+        x_on = umf_solve(umf_numeric(A, umf_symbolic(A)), b, A=A)
+        assert np.abs(x_on - x_off).max() < 1e-9
+
+    def test_btf_refactor_uses_new_values(self):
+        A = self._triangularish(seed=92)
+        S = umf_symbolic(A)
+        b = np.ones(60)
+        for scale in (1.0, 5.0):
+            A2 = SparseCSC(A.indptr, A.indices, A.data * scale, A.shape)
+            num = umf_numeric(A2, S)
+            x = umf_solve(num, b, A=A2)
+            assert np.linalg.norm(A2.to_scipy() @ x - b, np.inf) < 1e-10
+
+    def test_factor_systems_unavailable_on_btf(self):
+        from suitesparse_tpu.core.status import SparseError
+        A = self._triangularish(seed=93)
+        num = umf_numeric(A, umf_symbolic(A))
+        with pytest.raises(SparseError):
+            umf_solve(num, np.ones(60), system="L")
