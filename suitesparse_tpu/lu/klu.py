@@ -137,6 +137,11 @@ def _gp_lu_block(Bp, Bi, Bx, nb, tol, halt_if_singular):
     # col j of L: rows (original) with nonzero below pivot
     Lcols_rows: list[np.ndarray] = []
     Lcols_vals: list[np.ndarray] = []
+    # Eisenstat-Liu symmetric pruning (klu_kernel.c prune :515): once column
+    # j has a symmetric pair (U(j,k)!=0 and L(pivrow(k),j)!=0), the DFS only
+    # needs the rows of L(:,j) that were already pivotal at prune time —
+    # Lpend[j] marks that prefix after partitioning (-1 = unpruned).
+    Lpend: list[int] = []
 
     for k in range(nb):
         # --- symbolic: reach of B(:,k) through computed L columns ---------
@@ -153,8 +158,9 @@ def _gp_lu_block(Bp, Bi, Bx, nb, tol, halt_if_singular):
             while stack:
                 j, pi = stack[-1]
                 rows_j = Lcols_rows[j]
+                lim = Lpend[j] if Lpend[j] >= 0 else len(rows_j)
                 advanced = False
-                while pi < len(rows_j):
+                while pi < lim:
                     jj = int(pinv[rows_j[pi]])
                     pi += 1
                     if jj != -1 and not flag[jj]:
@@ -237,9 +243,27 @@ def _gp_lu_block(Bp, Bi, Bx, nb, tol, halt_if_singular):
         Up.append(len(Ui))
         Lcols_rows.append(np.array(lrows, dtype=INDEX))
         Lcols_vals.append(np.array(lvals))
+        Lpend.append(-1)
         Li.extend(lrows); Lx.extend(lvals)       # original row ids for now
         Lp.append(len(Li))
         flops += len(lrows)
+
+        # --- Eisenstat-Liu symmetric pruning (klu_kernel.c :515) ----------
+        # For each column j with U(j,k) != 0: if L(:,j) contains the pivot
+        # row of k, partition its adjacency so pivotal rows come first and
+        # restrict future DFS scans to that prefix.  Numeric updates keep
+        # using the full (reordered-in-sync) row/value lists.
+        for j in urows:
+            if Lpend[j] >= 0:
+                continue
+            rj = Lcols_rows[j]
+            if pr_new not in rj:
+                continue
+            piv_mask = pinv[rj] != -1
+            order = np.argsort(~piv_mask, kind="stable")
+            Lcols_rows[j] = rj[order]
+            Lcols_vals[j] = Lcols_vals[j][order]
+            Lpend[j] = int(piv_mask.sum())
 
     # map L row indices to final pivot coordinates
     Li = pinv[np.array(Li, dtype=INDEX)] if Li else np.empty(0, dtype=INDEX)

@@ -131,3 +131,95 @@ class TestKLU:
             cm.lu.scale = mode
             num = klu_factor(A, klu_analyze(A, cm), cm)
             assert residual_norm(A, klu_solve(num, b), b) < 1e-12, mode
+
+
+class TestKLUDevice:
+    """Device refactor twin (klu_device.py): fixed pattern+pivots as one
+    jitted program; parity vs the host refactor (klu_refactor.c semantics)."""
+
+    @pytest.mark.parametrize("name,A", _mats())
+    def test_matches_host_refactor(self, name, A):
+        from suitesparse_tpu.lu import klu_device
+        n = A.ncol
+        sym = klu_analyze(A)
+        num = klu_factor(A, sym)
+        plan, refactor, solve = klu_device(A, sym, num)
+        rng = np.random.default_rng(7)
+        b = rng.standard_normal(n)
+        # new values, same pattern
+        A2 = SparseCSC(A.indptr, A.indices,
+                       A.data * (1.0 + 0.3 * rng.standard_normal(A.nnz)),
+                       A.shape)
+        import jax.numpy as jnp
+        av = jnp.asarray(A2.data)
+        factors, Rs, ok = refactor(av)
+        assert bool(ok)
+        x_dev = np.asarray(solve(factors, Rs, av, jnp.asarray(b)))
+        res_dev = residual_norm(A2, x_dev, b)
+        assert res_dev < 1e-8, name
+        # parity with the host refactor path: at least as accurate (on
+        # ill-conditioned perturbations the fixed pivots amplify roundoff
+        # differently; residual is the contract, not bitwise x)
+        num2 = klu_refactor(A2, sym, num)
+        x_host = klu_solve(num2, b)
+        res_host = residual_norm(A2, x_host, b)
+        assert res_dev < 10 * max(res_host, 1e-14), name
+        if res_host < 1e-12:  # well-conditioned: solutions must agree
+            assert np.abs(x_dev - x_host).max() < 1e-6 * max(
+                1.0, np.abs(x_host).max())
+
+    def test_batched_sweep(self):
+        """Monte-Carlo sweep: vmap over value sets (the TPU win)."""
+        import jax
+        import jax.numpy as jnp
+        from suitesparse_tpu.lu import klu_device
+        A = generators.circuit_like(120, seed=9)
+        n = A.ncol
+        sym = klu_analyze(A)
+        num = klu_factor(A, sym)
+        plan, refactor, solve = klu_device(A, sym, num)
+        rng = np.random.default_rng(8)
+        B = 5
+        sweeps = jnp.asarray(
+            A.data[None, :] * (1.0 + 0.2 * rng.standard_normal((B, A.nnz))))
+        b = jnp.asarray(rng.standard_normal(n))
+        factors, Rs, ok = jax.vmap(refactor)(sweeps)
+        xs = jax.vmap(lambda f, r, a: solve(f, r, a, b))(factors, Rs, sweeps)
+        assert bool(ok.all())
+        for t in range(B):
+            At = SparseCSC(A.indptr, A.indices, np.asarray(sweeps[t]), A.shape)
+            assert residual_norm(At, np.asarray(xs[t]), np.asarray(b)) < 1e-10
+
+    def test_multiblock_levels(self):
+        """A matrix with many BTF blocks incl. singleton runs exercises the
+        level-set block schedule."""
+        rng = np.random.default_rng(10)
+        S = sp.lil_matrix((40, 40))
+        for i in range(40):
+            S[i, i] = 2.0 + rng.random()
+        for _ in range(60):  # strictly upper entries -> many BTF blocks
+            i = rng.integers(0, 39)
+            j = rng.integers(i + 1, 40)
+            S[i, j] = rng.standard_normal()
+        A = SparseCSC.from_scipy(S.tocsc())
+        from suitesparse_tpu.lu import klu_device
+        sym = klu_analyze(A)
+        assert sym.nblocks > 5
+        num = klu_factor(A, sym)
+        plan, refactor, solve = klu_device(A, sym, num)
+        import jax.numpy as jnp
+        av = jnp.asarray(A.data)
+        factors, Rs, ok = refactor(av)
+        b = rng.standard_normal(40)
+        x = np.asarray(solve(factors, Rs, av, jnp.asarray(b)))
+        assert residual_norm(A, x, b) < 1e-12
+
+    def test_singular_flag(self):
+        A = generators.circuit_like(50, seed=12)
+        sym = klu_analyze(A)
+        num = klu_factor(A, sym)
+        from suitesparse_tpu.lu import klu_device
+        plan, refactor, solve = klu_device(A, sym, num)
+        import jax.numpy as jnp
+        _, _, ok = refactor(jnp.zeros(A.nnz))
+        assert not bool(ok)
