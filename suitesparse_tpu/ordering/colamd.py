@@ -6,14 +6,14 @@ CCOLAMD/Include/ccolamd.h:107-257): order the columns of A so that the
 Cholesky factor of (PA)'(PA) — equivalently the LU/QR factors of A with
 free row pivoting — stays sparse; constrained variants take cmember.
 
-Implementation note (documented deviation): the reference's COLAMD runs
-approximate column minimum degree directly on A using row-merge elements to
-avoid forming A'A.  We instead form the *pattern* of A'A after pruning
-dense rows (> dense_row·sqrt(n) entries, the same rows COLAMD itself
-treats as dense, colamd.h Knobs) and run the native AMD core on it.  The
-objective optimized is identical (minimum degree on the column graph);
-dense-row pruning removes the fill blow-up case A'A exists to avoid.  The
-row-merge formulation is a planned native upgrade.
+The production path is the native row-merge formulation
+(native/src/colamd.cc): approximate column minimum degree directly on A
+with rows acting as elements — A'A is never formed, matching the
+reference's design (COLAMD/Source/colamd.c find_ordering :2159).  Fallback
+when no toolchain is available: form the *pattern* of A'A after pruning
+dense rows (> dense_row·sqrt(n) entries, the same rows COLAMD treats as
+dense, colamd.h Knobs) and run the AMD core on it — same objective
+(minimum degree on the column graph), more memory.
 """
 from __future__ import annotations
 
@@ -48,10 +48,29 @@ def _ata_pattern(A: SparseCSC, dense_row: float = 10.0) -> SparseCSC:
                      C.shape)
 
 
+def _native_colamd(A: SparseCSC, dense_row: float,
+                   dense_col: float) -> Optional[np.ndarray]:
+    from ..utils import native
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "sstpu_colamd"):
+        return None
+    perm = np.empty(A.ncol, dtype=np.int64)
+    rc = lib.sstpu_colamd(int(A.nrow), int(A.ncol),
+                          np.ascontiguousarray(A.indptr, dtype=np.int64),
+                          np.ascontiguousarray(A.indices, dtype=np.int64),
+                          perm, float(dense_row), float(dense_col))
+    if rc < 0:
+        raise SparseError(Status.INVALID, "colamd: invalid matrix")
+    return perm.astype(INDEX)
+
+
 def colamd(A: SparseCSC, common: Optional[Common] = None,
            dense_row: float = 10.0, dense_col: float = 10.0) -> np.ndarray:
     """Column ordering of A for LU with free row pivoting (colamd,
     colamd.h:164-184).  Returns perm over columns: perm[k] = k-th column."""
+    perm = _native_colamd(A, dense_row, dense_col)
+    if perm is not None:
+        return perm
     del dense_col  # dense columns are handled by AMD's own postponement
     C = _ata_pattern(A, dense_row)
     return amd(C, common)

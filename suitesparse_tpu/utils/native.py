@@ -73,6 +73,8 @@ def _register_optional(lib):
         ("sstpu_postorder", [c_i64, p_i64, p_i64], None),
         ("sstpu_colcounts", [c_i64, p_i64, p_i64, p_i64, p_i64], None),
         ("sstpu_maxtrans", [c_i64, c_i64, p_i64, p_i64, p_i64], c_i64),
+        ("sstpu_colamd", [c_i64, c_i64, p_i64, p_i64, p_i64,
+                          ctypes.c_double, ctypes.c_double], c_i64),
         ("sstpu_strongcomp", [c_i64, p_i64, p_i64, p_i64, p_i64], c_i64),
     ]:
         try:

@@ -145,3 +145,61 @@ class TestCOLAMD:
         A = SparseCSC.from_scipy(S.tocsc())
         q = colamd(A)
         assert amd_valid(n, q)
+
+
+class TestNativeColamd:
+    """Row-merge native COLAMD (native/src/colamd.cc)."""
+
+    def test_native_is_active_and_valid(self):
+        from suitesparse_tpu.ordering.colamd import _native_colamd
+        from suitesparse_tpu.utils import native
+        if not native.has_native():
+            pytest.skip("no toolchain")
+        A = generators.random_unsym(300, 0.02, seed=5)
+        p = _native_colamd(A, 10.0, 10.0)
+        assert p is not None
+        assert sorted(p.tolist()) == list(range(300))
+
+    def test_fill_quality_vs_superlu(self):
+        """Genuine COLAMD objective: nnz(L+U) within 20% of SuperLU's
+        COLAMD on a random LU problem (and often better)."""
+        import scipy.sparse.linalg as spla
+        from suitesparse_tpu.ordering.colamd import _native_colamd
+        from suitesparse_tpu.utils import native
+        if not native.has_native():
+            pytest.skip("no toolchain")
+        rng = np.random.default_rng(1)
+        S = (sp.random(800, 800, density=0.005, random_state=rng,
+                       format="csc", dtype=np.float64)
+             + sp.identity(800, format="csc")).tocsc()
+        A = SparseCSC.from_scipy(S)
+        p = _native_colamd(A, 10.0, 10.0)
+        ours = spla.splu(S[:, p].tocsc(), permc_spec="NATURAL")
+        ref = spla.splu(S, permc_spec="COLAMD")
+        assert (ours.L.nnz + ours.U.nnz) < 1.2 * (ref.L.nnz + ref.U.nnz)
+
+    def test_rectangular_and_dense_rows(self):
+        from suitesparse_tpu.ordering.colamd import _native_colamd
+        from suitesparse_tpu.utils import native
+        if not native.has_native():
+            pytest.skip("no toolchain")
+        rng = np.random.default_rng(2)
+        S = sp.random(400, 250, density=0.01, random_state=rng,
+                      format="lil")
+        S[7, :] = 1.0          # dense row: must be dropped, not blow up
+        S[:, 3] = 1.0          # dense column: ordered last
+        A = SparseCSC.from_scipy(sp.csc_matrix(S))
+        p = _native_colamd(A, 10.0, 10.0)
+        assert sorted(p.tolist()) == list(range(250))
+        assert p[-1] == 3      # the dense column lands at the end
+
+    def test_empty_and_duplicates(self):
+        from suitesparse_tpu.ordering.colamd import _native_colamd
+        from suitesparse_tpu.utils import native
+        if not native.has_native():
+            pytest.skip("no toolchain")
+        indptr = np.array([0, 2, 2, 4], dtype=np.int64)
+        indices = np.array([0, 0, 1, 2], dtype=np.int64)  # dup in col 0
+        A = SparseCSC(indptr, indices, None, (3, 3))
+        p = _native_colamd(A, 10.0, 10.0)
+        assert sorted(p.tolist()) == [0, 1, 2]
