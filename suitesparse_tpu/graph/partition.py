@@ -2,10 +2,14 @@
 
 Reference behavior targeted (Mongoose, SURVEY.md §2 item 25): multilevel
 coarsening via heavy-edge matching (Mongoose_Matching.cpp), initial guess
-cuts, and Fiduccia-Mattheyses boundary refinement with a balance
-constraint (Mongoose_ImproveFM.cpp).  The QP gradient-projection
-"waterdance" half is replaced by repeated FM passes with random restarts —
-a documented simplification; the API (edge_cut + options) matches.
+cuts, and "waterdance" refinement rounds (Mongoose_Waterdance.cpp)
+alternating Fiduccia-Mattheyses boundary moves (Mongoose_ImproveFM.cpp)
+with QP gradient projection on the continuous relaxation
+(Mongoose_ImproveQP.cpp / Mongoose_QPGradProj.cpp): minimize the cut
+f(x) = x'W(1-x) over the napsack polytope {x in [0,1]^n, lo <= w'x <= hi}
+(projection solved by a monotone multiplier search,
+Mongoose_QPNapsack.cpp), then round back to {0,1} under the balance
+budget.  Random restarts on top.
 
 Host-side analysis code (runs once per pattern).
 """
@@ -29,6 +33,10 @@ class EdgeCutOptions:
     fm_passes: int = 6
     random_seed: int = 0
     restarts: int = 2
+    use_fm: bool = True              # Mongoose use_FM
+    use_qp: bool = True              # Mongoose use_QP_gradproj
+    waterdance_rounds: int = 2       # FM<->QP alternations per level
+    qp_iters: int = 30               # gradient-projection steps per call
 
 
 @dataclasses.dataclass
@@ -201,6 +209,82 @@ def _fm_refine(G, vwt, part, tolerance, target, passes, rng):
     return best_part, best_cut
 
 
+def _napsack_project(y, a, lo, hi):
+    """Project y onto {x in [0,1]^n : lo <= a'x <= hi} (a > 0) — the
+    separable QP of Mongoose_QPNapsack.cpp.  x(lam) = clip(y - lam*a, 0, 1)
+    has monotone budget a'x(lam); solve for the multiplier by bisection."""
+    x = np.clip(y, 0.0, 1.0)
+    s = a @ x
+    if lo <= s <= hi:
+        return x
+    tgt = hi if s > hi else lo
+    # bracket the multiplier
+    lam_lo, lam_hi = -1.0, 1.0
+    scale = max(1.0, np.abs(y).max() / max(a.min(), 1e-12))
+    lam_lo, lam_hi = -scale - 1.0, scale + 1.0
+    for _ in range(60):
+        lam = 0.5 * (lam_lo + lam_hi)
+        s = a @ np.clip(y - lam * a, 0.0, 1.0)
+        if s > tgt:
+            lam_lo = lam
+        else:
+            lam_hi = lam
+    return np.clip(y - 0.5 * (lam_lo + lam_hi) * a, 0.0, 1.0)
+
+
+def _qp_gradproj(G, vwt, part, tolerance, target, iters):
+    """QP gradient projection on the continuous cut relaxation
+    (Mongoose_QPGradProj.cpp): f(x) = x'W(1-x), gradient W(1-2x), projected
+    steps over the napsack polytope, then balanced rounding."""
+    total = vwt.sum()
+    lo_w = (target - tolerance) * total
+    hi_w = (target + tolerance) * total
+    x = part.astype(np.float64)
+    # step size ~ 1/||W||_inf keeps the projected iteration stable
+    row_sums = np.asarray(np.abs(G).sum(axis=1)).ravel()
+    alpha = 1.0 / max(row_sums.max(), 1e-12)
+    fbest = np.inf
+    xbest = x
+    for _ in range(iters):
+        g = G @ (1.0 - 2.0 * x)
+        x = _napsack_project(x - alpha * g, vwt, lo_w, hi_w)
+        f = float(x @ (G @ (1.0 - x)))
+        if f < fbest - 1e-12:
+            fbest, xbest = f, x.copy()
+    # balanced rounding: side 1 takes the largest-x prefix whose weight
+    # lands inside the budget (closest to target)
+    order = np.argsort(-xbest, kind="stable")
+    csum = np.cumsum(vwt[order])
+    w1_target = (1.0 - target) * total
+    k = int(np.argmin(np.abs(csum - w1_target))) + 1
+    out = np.zeros(len(xbest), dtype=np.int8)
+    out[order[:k]] = 1
+    return out
+
+
+def _waterdance(G, vwt, part, opt, rng):
+    """Alternate FM and QP improvement until neither helps
+    (Mongoose_Waterdance.cpp)."""
+    best = part
+    best_cut = _cut_of(G, part)
+    for _ in range(max(1, opt.waterdance_rounds)):
+        improved = False
+        if opt.use_fm:
+            cand, cut = _fm_refine(G, vwt, best.copy(), opt.tolerance,
+                                   opt.target_split, opt.fm_passes, rng)
+            if cut < best_cut - 1e-12:
+                best, best_cut, improved = cand, cut, True
+        if opt.use_qp:
+            cand = _qp_gradproj(G, vwt, best.copy(), opt.tolerance,
+                                opt.target_split, opt.qp_iters)
+            cut = _cut_of(G, cand)
+            if cut < best_cut - 1e-12:
+                best, best_cut, improved = cand, cut, True
+        if not improved:
+            break
+    return best, best_cut
+
+
 def edge_cut(A: SparseCSC, options: Optional[EdgeCutOptions] = None) -> EdgeCutResult:
     """Mongoose edge_cut: bisect the graph of A minimizing edge cut subject
     to balance (Mongoose.hpp:162)."""
@@ -229,14 +313,12 @@ def edge_cut(A: SparseCSC, options: Optional[EdgeCutOptions] = None) -> EdgeCutR
         # initial cut at the coarsest level
         Gc, vwtc = graphs[-1]
         part = _initial_cut(Gc, vwtc, opt.target_split, rng)
-        part, _ = _fm_refine(Gc, vwtc, part, opt.tolerance,
-                             opt.target_split, opt.fm_passes, rng)
+        part, _ = _waterdance(Gc, vwtc, part, opt, rng)
         # uncoarsen + refine
         for lvl in range(len(maps) - 1, -1, -1):
             part = part[maps[lvl]]
             G, vwt = graphs[lvl]
-            part, _ = _fm_refine(G, vwt, part, opt.tolerance,
-                                 opt.target_split, opt.fm_passes, rng)
+            part, _ = _waterdance(G, vwt, part, opt, rng)
         # score
         cut = 0.0
         coo = G0.tocoo()

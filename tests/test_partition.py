@@ -67,3 +67,40 @@ class TestNesdis:
         m = bisect(A)
         assert set(np.unique(m)) <= {0, 1, 2}
         assert (m == 2).sum() < A.ncol // 3
+
+
+class TestQPWaterdance:
+    """QP gradient projection + napsack projection (Mongoose_QPGradProj /
+    Mongoose_QPNapsack / Mongoose_Waterdance equivalents)."""
+
+    def test_napsack_projection_feasible(self):
+        from suitesparse_tpu.graph.partition import _napsack_project
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            n = 50
+            y = rng.standard_normal(n) * 2
+            a = rng.random(n) + 0.1
+            lo, hi = 0.4 * a.sum() * 0.5, 0.6 * a.sum() * 0.5
+            x = _napsack_project(y, a, lo, hi)
+            assert np.all(x >= -1e-12) and np.all(x <= 1 + 1e-12)
+            assert lo - 1e-6 * a.sum() <= a @ x <= hi + 1e-6 * a.sum()
+
+    def test_napsack_projection_identity_inside(self):
+        from suitesparse_tpu.graph.partition import _napsack_project
+        y = np.array([0.2, 0.8, 0.5])
+        a = np.ones(3)
+        x = _napsack_project(y, a, 1.0, 2.0)
+        assert np.allclose(x, y)   # already feasible -> unchanged
+
+    def test_qp_only_partition(self):
+        A = generators.laplacian_2d(24)
+        res = edge_cut(A, EdgeCutOptions(use_fm=False, random_seed=1,
+                                         qp_iters=60, waterdance_rounds=3))
+        assert res.cut_cost <= 4 * 2 * 24      # sane cut without FM
+        assert res.imbalance < 0.13
+
+    def test_waterdance_no_worse_than_fm(self):
+        A = generators.laplacian_2d(20)
+        fm = edge_cut(A, EdgeCutOptions(use_qp=False, random_seed=2))
+        wd = edge_cut(A, EdgeCutOptions(random_seed=2))
+        assert wd.cut_cost <= fm.cut_cost + 1e-9
