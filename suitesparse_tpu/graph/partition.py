@@ -331,25 +331,82 @@ def edge_cut(A: SparseCSC, options: Optional[EdgeCutOptions] = None) -> EdgeCutR
     return best
 
 
+def _min_vertex_cover(b0, b1, edges):
+    """Minimum vertex cover of the bipartite cut-edge graph by König's
+    theorem: maximum matching (augmenting-path search), then cover =
+    (B0 \\ Z) u (B1 n Z) where Z = vertices reachable from unmatched B0
+    vertices along alternating paths.  This is the optimal edge-cut ->
+    vertex-separator conversion (smallest separator realizing the cut)."""
+    id0 = {v: i for i, v in enumerate(b0)}
+    id1 = {v: i for i, v in enumerate(b1)}
+    adj = [[] for _ in b0]                 # B0-local -> list of B1-local
+    for v, u in edges:
+        adj[id0[v]].append(id1[u])
+    match0 = np.full(len(b0), -1, dtype=INDEX)
+    match1 = np.full(len(b1), -1, dtype=INDEX)
+
+    def augment(i, seen):
+        for j in adj[i]:
+            if seen[j]:
+                continue
+            seen[j] = True
+            if match1[j] == -1 or augment(match1[j], seen):
+                match0[i] = j
+                match1[j] = i
+                return True
+        return False
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 2 * (len(b0) + len(b1)) + 100))
+    try:
+        for i in range(len(b0)):
+            augment(i, np.zeros(len(b1), dtype=bool))
+    finally:
+        sys.setrecursionlimit(old)
+
+    # alternating BFS from unmatched B0 vertices
+    z0 = np.zeros(len(b0), dtype=bool)
+    z1 = np.zeros(len(b1), dtype=bool)
+    from collections import deque
+    q = deque(i for i in range(len(b0)) if match0[i] == -1)
+    for i in q:
+        z0[i] = True
+    while q:
+        i = q.popleft()
+        for j in adj[i]:
+            if z1[j]:
+                continue
+            z1[j] = True
+            i2 = match1[j]
+            if i2 != -1 and not z0[i2]:
+                z0[i2] = True
+                q.append(i2)
+    cover = [b0[i] for i in range(len(b0)) if not z0[i]]
+    cover += [b1[j] for j in range(len(b1)) if z1[j]]
+    return cover
+
+
 def vertex_separator(A: SparseCSC, options: Optional[EdgeCutOptions] = None
                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Convert an edge cut into a vertex separator (cholmod_bisect analog):
     returns (left, right, sep) index arrays.
 
-    Separator = the smaller boundary side of the cut (a simple vertex-cover
-    approximation of the cut edges).
+    Separator = minimum vertex cover of the cut edges (König), i.e. the
+    smallest vertex set whose removal disconnects the two sides of the
+    computed edge cut.
     """
     res = edge_cut(A, options)
     part = res.partition
     G = _to_adj(A)
     n = G.shape[0]
-    b0, b1 = set(), set()
     coo = G.tocoo()
-    for v, u in zip(coo.row, coo.col):
-        if part[v] != part[u]:
-            (b0 if part[v] == 0 else b1).add(int(v))
-    sep_set = b0 if len(b0) <= len(b1) else b1
-    sep = np.array(sorted(sep_set), dtype=INDEX)
+    m = (part[coo.row] == 0) & (part[coo.col] == 1)
+    edges = list({(int(v), int(u)) for v, u in zip(coo.row[m], coo.col[m])})
+    b0 = sorted({v for v, _ in edges})
+    b1 = sorted({u for _, u in edges})
+    cover = _min_vertex_cover(b0, b1, edges) if edges else []
+    sep = np.array(sorted(cover), dtype=INDEX)
     mask = np.zeros(n, dtype=bool)
     mask[sep] = True
     left = np.array([v for v in range(n) if part[v] == 0 and not mask[v]],
