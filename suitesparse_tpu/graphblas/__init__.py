@@ -1,7 +1,8 @@
 from .core import (GrBMatrix, Monoid, Semiring, semiring, mxv, vxm, mxm,
                    ewise_add, ewise_mult, apply, select, reduce_rows,
                    reduce_scalar, transpose, kron, build, extract_tuples,
-                   extract, assign, MONOIDS, BINOPS, UNARYOPS)
+                   extract, assign, ewise_union, concat, split, reshape,
+                   sort, MONOIDS, BINOPS, UNARYOPS)
 from .objects import (Descriptor, GrBVector, Storage, MatrixIterator,
                       iterate_entries, realize, to_csc, auto_format,
                       HYPERSPARSE, SPARSE, BITMAP, FULL, BY_ROW, BY_COL,

@@ -487,3 +487,113 @@ def assign(A, rows, cols, B) -> SparseCSC:
     Bc = (B.to_csc() if isinstance(B, GrBMatrix) else B).to_scipy()
     Ac[np.ix_(np.asarray(rows), np.asarray(cols))] = Bc
     return SparseCSC.from_scipy(Ac.tocsc())
+
+
+def ewise_union(A, B, op: str = "plus", alpha: float = 0.0,
+                beta: float = 0.0, mask=None, desc=None) -> SparseCSC:
+    """GxB_eWiseUnion: like eWiseAdd but entries present in only one input
+    are combined with the other operand's fill scalar (alpha for missing A,
+    beta for missing B) instead of passing through unchanged."""
+    Ac = _to_cscish(A)
+    Bc = _to_cscish(B)
+    fn = BINOPS[op]
+    SA, SB = Ac.to_scipy().tocsc(), Bc.to_scipy().tocsc()
+    pat = ((SA != 0) + (SB != 0)).tocsc()
+    rows, cols = pat.nonzero()
+    if len(rows) == 0:
+        from ..core.sparse import spzeros
+        return spzeros(*Ac.shape)
+    a = np.asarray(SA[rows, cols]).ravel()
+    b = np.asarray(SB[rows, cols]).ravel()
+    ina = np.asarray((SA != 0)[rows, cols]).ravel()
+    inb = np.asarray((SB != 0)[rows, cols]).ravel()
+    a = np.where(ina, a, alpha)
+    b = np.where(inb, b, beta)
+    vals = np.asarray(fn(jnp.asarray(a), jnp.asarray(b)))
+    C = Triplet(rows.astype(INDEX), cols.astype(INDEX), vals,
+                Ac.shape).to_csc()
+    return _apply_mask_mat(C, mask, desc)
+
+
+def concat(tiles) -> SparseCSC:
+    """GxB_Matrix_concat: C = [[tiles]] from a 2D list-of-lists of
+    matrices (row-major tile grid)."""
+    import scipy.sparse as sp
+    rows = []
+    for tile_row in tiles:
+        rows.append(sp.hstack([_to_cscish(t).to_scipy() for t in tile_row],
+                              format="csc"))
+    return SparseCSC.from_scipy(sp.vstack(rows, format="csc"))
+
+
+def split(A, row_sizes, col_sizes):
+    """GxB_Matrix_split: partition A into a tile grid with the given row
+    and column block sizes; returns a 2D list-of-lists."""
+    Ac = _to_cscish(A)
+    if sum(row_sizes) != Ac.nrow or sum(col_sizes) != Ac.ncol:
+        raise SparseError(Status.INVALID, "split sizes must sum to shape")
+    S = Ac.to_scipy().tocsc()
+    out = []
+    r0 = 0
+    for rs in row_sizes:
+        tile_row = []
+        c0 = 0
+        for cs in col_sizes:
+            tile_row.append(SparseCSC.from_scipy(
+                S[r0:r0 + rs, c0:c0 + cs].tocsc()))
+            c0 += cs
+        out.append(tile_row)
+        r0 += rs
+    return out
+
+
+def reshape(A, nrow: int, ncol: int, by_col: bool = True) -> SparseCSC:
+    """GxB_Matrix_reshape: same entries reinterpreted in a nrow-by-ncol
+    shape (column-major by default, matching the reference)."""
+    Ac = _to_cscish(A)
+    if nrow * ncol != Ac.nrow * Ac.ncol:
+        raise SparseError(Status.INVALID, "reshape must preserve size")
+    r, c, v = extract_tuples(Ac)
+    if by_col:
+        lin = c.astype(np.int64) * Ac.nrow + r
+        nr, nc = lin % nrow, lin // nrow
+    else:
+        lin = r.astype(np.int64) * Ac.ncol + c
+        nr, nc = lin // ncol, lin % ncol
+    return Triplet(nr.astype(INDEX), nc.astype(INDEX), v,
+                   (nrow, ncol)).to_csc()
+
+
+def sort(A, op: str = "lt", by_col: bool = True):
+    """GxB_Matrix_sort: sort the entries within each column (or row) by
+    value; returns (C, P) where C holds the sorted values compacted to the
+    top of each column and P the original row (resp. column) indices."""
+    Ac = _to_cscish(A)
+    S = Ac.to_scipy().tocsc() if by_col else Ac.to_scipy().tocsr()
+    indptr = S.indptr
+    vals = S.data.copy()
+    perm_idx = S.indices.astype(INDEX).copy()
+    descending = op in ("gt", "max")
+    for j in range(len(indptr) - 1):
+        lo, hi = indptr[j], indptr[j + 1]
+        order = np.argsort(vals[lo:hi], kind="stable")
+        if descending:
+            order = order[::-1]
+        vals[lo:hi] = vals[lo:hi][order]
+        perm_idx[lo:hi] = perm_idx[lo:hi][order]
+    nvec = len(indptr) - 1
+    counts = np.diff(indptr)
+    # compacted: entry k of vector j sits at position k (dense-top layout)
+    rows = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.empty(0, INDEX)
+    cols = np.repeat(np.arange(nvec), counts)
+    if by_col:
+        C = Triplet(rows.astype(INDEX), cols.astype(INDEX), vals,
+                    Ac.shape).to_csc()
+        P = Triplet(rows.astype(INDEX), cols.astype(INDEX),
+                    perm_idx.astype(np.float64), Ac.shape).to_csc()
+    else:
+        C = Triplet(cols.astype(INDEX), rows.astype(INDEX), vals,
+                    Ac.shape).to_csc()
+        P = Triplet(cols.astype(INDEX), rows.astype(INDEX),
+                    perm_idx.astype(np.float64), Ac.shape).to_csc()
+    return C, P

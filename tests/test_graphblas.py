@@ -328,3 +328,55 @@ class TestDescriptorsVectorsIterators:
         Cc = ewise_mult(A, B, mask=mask, desc=Descriptor(mask_complement=True))
         ref2 = np.tril(np.asarray((S.multiply(T)).toarray()), -1)
         assert np.allclose(Cc.to_scipy().toarray(), ref2, atol=1e-12)
+
+
+class TestUnionConcatSplitReshapeSort:
+    """GxB_eWiseUnion / concat / split / reshape / Matrix_sort analogs."""
+
+    def _rand(self, m, n, seed, d=0.2):
+        rng = np.random.default_rng(seed)
+        S = sp.random(m, n, density=d, random_state=rng, format="csc")
+        return SparseCSC.from_scipy(S)
+
+    def test_ewise_union_fill_scalars(self):
+        from suitesparse_tpu.graphblas import ewise_union
+        A = self._rand(10, 10, 0)
+        B = self._rand(10, 10, 1)
+        C = ewise_union(A, B, "minus", alpha=5.0, beta=3.0)
+        SA, SB = A.to_scipy(), B.to_scipy()
+        D = C.to_scipy().toarray()
+        for i in range(10):
+            for j in range(10):
+                a, b = SA[i, j], SB[i, j]
+                ina, inb = a != 0, b != 0
+                if not ina and not inb:
+                    assert D[i, j] == 0
+                else:
+                    ref = (a if ina else 5.0) - (b if inb else 3.0)
+                    assert np.isclose(D[i, j], ref)
+
+    def test_concat_split_roundtrip(self):
+        from suitesparse_tpu.graphblas import concat, split
+        A = self._rand(9, 7, 2)
+        tiles = split(A, [4, 5], [3, 4])
+        B = concat(tiles)
+        assert (A.to_scipy() != B.to_scipy()).nnz == 0
+
+    def test_reshape_column_major(self):
+        from suitesparse_tpu.graphblas import reshape
+        A = self._rand(6, 4, 3)
+        C = reshape(A, 8, 3)
+        a = A.to_scipy().toarray().reshape(-1, order="F")
+        c = C.to_scipy().toarray().reshape(-1, order="F")
+        assert np.allclose(a, c)
+
+    def test_sort_columns(self):
+        from suitesparse_tpu.graphblas import sort
+        A = self._rand(12, 5, 4, d=0.5)
+        C, P = sort(A, "lt")
+        S = A.to_scipy().tocsc()
+        Cd = C.to_scipy().toarray()
+        for j in range(5):
+            col = S.data[S.indptr[j]:S.indptr[j + 1]]
+            got = Cd[:len(col), j]
+            assert np.allclose(np.sort(col), got)
