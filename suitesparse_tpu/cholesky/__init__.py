@@ -1,6 +1,6 @@
 from .symbolic import Symbolic, analyze, analyze_ordering
 from .simplicial import (Factor, factorize_simplicial, solve, lsolve, ltsolve,
-                         dsolve, rcond)
+                         dsolve, rcond, rowfac, rowfac_mask, alloc_factor)
 from .supernodal import SuperSymbolic, super_symbolic
 from .super_numeric import (SuperFactor, NumericPlan, build_plan,
                             factorize_super, solve_super)

@@ -43,6 +43,8 @@ class Factor:
     is_ll: bool
     minor: int                    # == n if ok; else first failing column
     symbolic: Optional[Symbolic] = None
+    lfill: Optional[np.ndarray] = None   # per-column fill cursor (rowfac state)
+    nrows_done: int = 0                  # rows factorized so far (rowfac)
 
     @property
     def ok(self) -> bool:
@@ -103,13 +105,44 @@ def factorize_simplicial(A: SparseCSC, sym: Optional[Symbolic] = None,
     status = Status.OK
     dbound = cm.cholesky.dbound
 
+    status, minor = _rowfac_range(P, parent, Lp, Li, Lx, lfill, D, y, flag,
+                                  0, n, ll, beta, dbound, iscomplex,
+                                  None, minor)
+
+    cm.status = status
+    t = cm.toc("factorize")
+    cm.info.update({"factor_time": t, "minor": minor})
+    return Factor(n=n, perm=sym.perm, Lp=Lp, Li=Li, Lx=Lx,
+                  D=None if ll else D, is_ll=ll, minor=minor, symbolic=sym,
+                  lfill=lfill, nrows_done=n)
+
+
+def _rowfac_range(P, parent, Lp, Li, Lx, lfill, D, y, flag, kstart, kend,
+                  ll, beta, dbound, iscomplex, mask, minor):
+    """Factorize rows kstart..kend-1 of the permuted matrix P into the
+    in-progress factor arrays (cholmod_rowfac.c:111-205 row loop; the mask
+    argument gives cholmod_rowfac_mask semantics: rows with mask True are
+    treated as identity rows of A — zero off-diagonals, unit pivot)."""
+    n = len(parent)
+    status = Status.OK
     Pp, Pi, Px = P.indptr, P.indices, P.data
-    for k in range(n):
+    for k in range(kstart, kend):
+        if mask is not None and mask[k]:
+            # masked row: column k of the factor is the unit column
+            lo = int(Lp[k])
+            Li[lo] = k
+            Lx[lo] = 1.0
+            if not ll:
+                D[k] = 1.0
+            lfill[k] = 1
+            continue
         patt = ereach(P, k, parent, flag)
         # scatter column k of the upper triangle: rows i <= k
         dk = beta
         for p in range(Pp[k], Pp[k + 1]):
             i = int(Pi[p])
+            if mask is not None and i < k and mask[i]:
+                continue
             if i < k:
                 y[i] = Px[p]
             elif i == k:
@@ -169,12 +202,76 @@ def factorize_simplicial(A: SparseCSC, sym: Optional[Symbolic] = None,
             Li[lo] = k
             Lx[lo] = 1.0
             lfill[k] = 1
+    return status, minor
 
+
+def rowfac(A: SparseCSC, f: Factor, kstart: int, kend: int,
+           common: Optional[Common] = None, beta: float = 0.0,
+           mask: Optional[np.ndarray] = None) -> Factor:
+    """cholmod_rowfac: incrementally factorize rows kstart..kend-1 of
+    PAP' into an existing partial factor (cholmod_rowfac.c:111-205).
+
+    The factor must have been produced by factorize_simplicial /
+    previous rowfac calls with nrows_done == kstart.  With mask given,
+    this is cholmod_rowfac_mask: rows k (and their off-diagonal
+    contributions) with mask[k] True are treated as identity rows of A —
+    the LPDASA-style masked update."""
+    cm = common or default_common()
+    if f.nrows_done != kstart or f.lfill is None or f.symbolic is None:
+        from ..core.status import SparseError
+        raise SparseError(Status.INVALID,
+                          f"rowfac expects nrows_done == kstart "
+                          f"({f.nrows_done} != {kstart})")
+    sym = f.symbolic
+    n = f.n
+    kend = min(kend, n)
+    P = _permuted_upper(A, sym.perm)
+    dtype = f.Lx.dtype
+    iscomplex = np.issubdtype(dtype, np.complexfloating)
+    y = np.zeros(n, dtype=dtype)
+    flag = np.zeros(n, dtype=bool)
+    if mask is not None:
+        mask = np.asarray(mask)[sym.perm]       # mask is in original order
+    status, minor = _rowfac_range(
+        P, sym.parent, f.Lp, f.Li, f.Lx, f.lfill, f.D, y, flag,
+        kstart, kend, f.is_ll, beta, cm.cholesky.dbound, iscomplex,
+        mask, f.minor)
+    f.minor = minor
+    f.nrows_done = kend
     cm.status = status
-    t = cm.toc("factorize")
-    cm.info.update({"factor_time": t, "minor": minor})
-    return Factor(n=n, perm=sym.perm, Lp=Lp, Li=Li, Lx=Lx,
-                  D=None if ll else D, is_ll=ll, minor=minor, symbolic=sym)
+    return f
+
+
+def rowfac_mask(A: SparseCSC, f: Factor, kstart: int, kend: int,
+                mask: np.ndarray, common: Optional[Common] = None,
+                beta: float = 0.0) -> Factor:
+    """cholmod_rowfac_mask (cholmod_cholesky.h): rowfac with masked rows
+    of A treated as identity rows."""
+    return rowfac(A, f, kstart, kend, common, beta, mask=mask)
+
+
+def alloc_factor(A: SparseCSC, sym: Optional[Symbolic] = None,
+                 common: Optional[Common] = None, ll: bool = False) -> Factor:
+    """Allocate an empty simplicial factor for incremental rowfac
+    (cholmod_allocate_factor + symbolic analysis)."""
+    cm = common or default_common()
+    sym = sym or analyze(A, cm)
+    n = sym.n
+    P = _permuted_upper(A, sym.perm)
+    dtype = np.result_type(P.data.dtype, np.float64)
+    cc = sym.colcount
+    Lp = np.zeros(n + 1, dtype=INDEX)
+    np.cumsum(cc, out=Lp[1:])
+    lnz = int(Lp[-1])
+    # slots a rowfac pass leaves unfilled (masked rows, sub-symbolic
+    # patterns) must stay valid: point them at their column's diagonal
+    # with value zero — harmless in solves and conversions.
+    Li = np.repeat(np.arange(n, dtype=INDEX), cc)
+    return Factor(n=n, perm=sym.perm, Lp=Lp, Li=Li,
+                  Lx=np.zeros(lnz, dtype=dtype),
+                  D=None if ll else np.zeros(n, dtype=dtype), is_ll=ll,
+                  minor=n, symbolic=sym, lfill=np.zeros(n, dtype=INDEX),
+                  nrows_done=0)
 
 
 # ---------------------------------------------------------------------------

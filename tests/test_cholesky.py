@@ -209,3 +209,54 @@ class TestAPI:
         x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
         x = spsolve_chol(A, b)
         assert np.allclose(x, x_ref, rtol=1e-8)
+
+
+class TestRowfac:
+    """Incremental row factorization (cholmod_rowfac / rowfac_mask)."""
+
+    def _spd(self, n, seed):
+        rng = np.random.default_rng(seed)
+        B = sp.random(n, n, density=0.08, random_state=rng, format="csc")
+        return SparseCSC.from_scipy((B @ B.T + n * sp.identity(n)).tocsc())
+
+    def test_incremental_matches_full(self):
+        from suitesparse_tpu.cholesky import (alloc_factor, rowfac,
+                                              factorize_simplicial)
+        A = self._spd(60, 0)
+        full = factorize_simplicial(A)
+        f = alloc_factor(A)
+        f = rowfac(A, f, 0, 25)
+        assert f.nrows_done == 25
+        f = rowfac(A, f, 25, 60)
+        assert f.ok
+        assert np.allclose(f.Lx, full.Lx)
+        assert np.allclose(f.D, full.D)
+        b = np.arange(60, dtype=float)
+        x = solve(f, b)
+        assert residual_norm(A, x, b) < 1e-12
+
+    def test_wrong_start_raises(self):
+        from suitesparse_tpu.cholesky import alloc_factor, rowfac
+        from suitesparse_tpu.core.status import SparseError
+        A = self._spd(20, 1)
+        f = alloc_factor(A)
+        with pytest.raises(SparseError):
+            rowfac(A, f, 5, 10)
+
+    def test_rowfac_mask_equals_masked_matrix(self):
+        from suitesparse_tpu.cholesky import alloc_factor, rowfac_mask
+        A = self._spd(40, 2)
+        mask = np.zeros(40, dtype=bool)
+        mask[[3, 17, 29]] = True
+        f = alloc_factor(A)
+        f = rowfac_mask(A, f, 0, 40, mask)
+        # oracle: A with masked rows/cols replaced by identity rows
+        S = A.to_scipy().tolil()
+        for i in np.where(mask)[0]:
+            S[i, :] = 0.0
+            S[:, i] = 0.0
+            S[i, i] = 1.0
+        Am = SparseCSC.from_scipy(S.tocsc())
+        b = np.ones(40)
+        x = solve(f, b)
+        assert residual_norm(Am, x, b) < 1e-12
