@@ -9,3 +9,4 @@ from .objects import (Descriptor, GrBVector, Storage, MatrixIterator,
                       DESC_T0, DESC_T1, DESC_T0T1, DESC_C, DESC_S, DESC_R,
                       DESC_RC, DESC_SC)
 from .algorithms import pagerank, bfs_levels, triangle_count
+from ..utils.serialize import matrix_serialize, matrix_deserialize

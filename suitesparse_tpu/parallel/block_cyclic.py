@@ -70,7 +70,10 @@ def block_cyclic_cholesky(F: np.ndarray, mesh: Mesh, nb: int = 128,
     dev_blocks = jax.device_put(jnp.asarray(blocks), sh_b)
     Kloc = K // ndev
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:           # older jax
+        from jax.experimental.shard_map import shard_map
 
     @functools.partial(jax.jit, out_shardings=sh_b)
     @functools.partial(shard_map, mesh=mesh, in_specs=(P(axis),),

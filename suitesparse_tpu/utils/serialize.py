@@ -170,3 +170,79 @@ def load_klu(path):
     return KLUNumeric(sym=sym, blocks=blocks, pnum=arr["pnum"], Rs=arr["Rs"],
                       offdiag=off, singular_col=meta["singular_col"],
                       flops=meta["flops"], p_final=arr["p_final"])
+
+
+# -- GxB_Matrix_serialize / deserialize analog -------------------------------
+# (GB_serialize.c: blob = header + per-block compressed streams; the
+# reference offers LZ4/LZ4HC/ZSTD — we offer zstd (preferred) and zlib.)
+
+_BLOCK = 1 << 22          # 4 MiB uncompressed blocks, like GB_serialize
+
+
+def _codec(method: str):
+    """Returns (actual_method, compress, decompress)."""
+    if method == "zstd":
+        try:
+            import zstandard as zstd
+            c = zstd.ZstdCompressor()
+            d = zstd.ZstdDecompressor()
+            return "zstd", (lambda b: c.compress(b)), \
+                (lambda b: d.decompress(b))
+        except ImportError:
+            method = "zlib"
+    if method == "zlib":
+        import zlib
+        return "zlib", zlib.compress, zlib.decompress
+    if method == "none":
+        return "none", (lambda b: b), (lambda b: b)
+    raise SparseError(Status.INVALID, f"unknown serialize method {method!r}")
+
+
+def matrix_serialize(A: SparseCSC, method: str = "zstd") -> bytes:
+    """GxB_Matrix_serialize: matrix -> compressed blob (one buffer)."""
+    method, comp, _ = _codec(method)
+    data = A.data if A.data is not None else np.empty(0)
+    streams = []
+    for arr in (np.asarray(A.indptr, dtype=np.int64),
+                np.asarray(A.indices, dtype=np.int64), np.asarray(data)):
+        raw = arr.tobytes()
+        blocks = [comp(raw[i:i + _BLOCK]) for i in range(0, len(raw), _BLOCK)]
+        if not blocks:
+            blocks = [comp(b"")]
+        streams.append(blocks)
+    header = dict(magic=_MAGIC, version=_VERSION, kind="grb_matrix",
+                  method=method,
+                  shape=list(A.shape), stype=int(A.stype),
+                  has_values=A.data is not None,
+                  dtype=str(np.asarray(data).dtype),
+                  nblocks=[len(s) for s in streams],
+                  sizes=[[len(b) for b in s] for s in streams])
+    hb = json.dumps(header).encode()
+    out = [len(hb).to_bytes(8, "little"), hb]
+    for s in streams:
+        out.extend(s)
+    return b"".join(out)
+
+
+def matrix_deserialize(blob: bytes) -> SparseCSC:
+    """GxB_Matrix_deserialize: blob -> matrix."""
+    hlen = int.from_bytes(blob[:8], "little")
+    header = json.loads(blob[8:8 + hlen].decode())
+    if header.get("magic") != _MAGIC or header.get("kind") != "grb_matrix":
+        raise SparseError(Status.INVALID, "not a serialized matrix blob")
+    _, _, decomp = _codec(header["method"])
+    pos = 8 + hlen
+    arrays = []
+    for sizes in header["sizes"]:
+        raw = b""
+        for sz in sizes:
+            raw += decomp(blob[pos:pos + sz])
+            pos += sz
+        arrays.append(raw)
+    indptr = np.frombuffer(arrays[0], dtype=np.int64)
+    indices = np.frombuffer(arrays[1], dtype=np.int64)
+    data = (np.frombuffer(arrays[2], dtype=np.dtype(header["dtype"]))
+            if header["has_values"] else None)
+    return SparseCSC(indptr.copy(), indices.copy(),
+                     None if data is None else data.copy(),
+                     tuple(header["shape"]), stype=header["stype"])

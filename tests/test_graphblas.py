@@ -380,3 +380,34 @@ class TestUnionConcatSplitReshapeSort:
             col = S.data[S.indptr[j]:S.indptr[j + 1]]
             got = Cd[:len(col), j]
             assert np.allclose(np.sort(col), got)
+
+
+class TestSerialize:
+    """GxB_Matrix_serialize/deserialize analog (zstd block compression)."""
+
+    @pytest.mark.parametrize("method", ["zstd", "zlib", "none"])
+    def test_roundtrip(self, method):
+        from suitesparse_tpu.graphblas import (matrix_deserialize,
+                                               matrix_serialize)
+        rng = np.random.default_rng(0)
+        S = sp.random(60, 45, density=0.1, random_state=rng, format="csc")
+        A = SparseCSC.from_scipy(S)
+        blob = matrix_serialize(A, method)
+        B = matrix_deserialize(blob)
+        assert B.shape == A.shape
+        assert (A.to_scipy() != B.to_scipy()).nnz == 0
+
+    def test_pattern_and_sym(self):
+        from suitesparse_tpu.graphblas import (matrix_deserialize,
+                                               matrix_serialize)
+        from suitesparse_tpu.core.sparse import SYM_UPPER
+        A = SparseCSC(np.array([0, 1, 2]), np.array([0, 1]), None, (2, 2),
+                      stype=SYM_UPPER)
+        B = matrix_deserialize(matrix_serialize(A))
+        assert B.data is None and B.stype == SYM_UPPER
+
+    def test_bad_blob_raises(self):
+        from suitesparse_tpu.graphblas import matrix_deserialize
+        from suitesparse_tpu.core.status import SparseError
+        with pytest.raises((SparseError, Exception)):
+            matrix_deserialize(b"\x10\x00\x00\x00\x00\x00\x00\x00garbage!!!")
