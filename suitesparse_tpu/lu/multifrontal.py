@@ -757,14 +757,34 @@ def umf_wsolve(num: UmfNumeric, b: np.ndarray, W=None, system: str = "A",
 
 
 def umf_lunz(num: UmfNumeric) -> tuple[int, int]:
-    """umfpack_get_lunz analog: nnz estimates of L and U (dense panel counts)."""
+    """umfpack_get_lunz analog: structural nnz of L and U, counted as the
+    nonzero entries of the numeric panels (the padded dense-panel layout
+    stores explicit zeros; the reference counts pattern entries)."""
     if num.bnums is not None:
-        t = sum(int(bn.symbolic.plan.total) for bn in num.bnums
-                if bn is not None)
-        n1 = sum(1 for bn in num.bnums if bn is None)
-        return t + n1, t + n1
-    t = int(num.symbolic.plan.total)
-    return t, t
+        lnz = unz = sum(1 for bn in num.bnums if bn is None)
+        for bn in num.bnums:
+            if bn is not None:
+                l2, u2 = umf_lunz(bn)
+                lnz += l2
+                unz += u2
+        return lnz, unz
+    # panel layout: Lb's diagonal block holds L (strict lower, unit diag
+    # implicit) and U11 (upper); Lb below holds L21; Ub below holds U12'
+    Lb = np.asarray(num.Lb)
+    Ub = np.asarray(num.Ub)
+    lnz = unz = 0
+    for level in num.symbolic.plan.meta:
+        for (Np, Mb, base, B) in level:
+            Mp = Np + Mb
+            PL = Lb[base:base + B * Mp * Np].reshape(B, Mp, Np)
+            lu = PL[:, :Np, :]
+            lnz += int(np.count_nonzero(np.tril(lu, -1))) + B * Np
+            lnz += int(np.count_nonzero(PL[:, Np:, :]))
+            unz += int(np.count_nonzero(np.triu(lu)))
+            if Mb:
+                PU = Ub[base:base + B * Mp * Np].reshape(B, Mp, Np)
+                unz += int(np.count_nonzero(PU[:, Np:, :]))
+    return lnz, unz
 
 
 def umf_determinant(num: UmfNumeric) -> tuple[float, float]:
