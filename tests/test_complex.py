@@ -81,3 +81,26 @@ class TestComplexKLU:
         num = klu_factor(C, klu_analyze(C))
         b = np.ones(C.ncol)
         assert np.abs(C.to_scipy() @ klu_solve(num, b) - b).max() < 1e-10
+
+
+class TestComplexKLUDevice:
+    def test_device_refactor_complex(self):
+        import jax.numpy as jnp
+        from suitesparse_tpu.lu import klu_device
+        rng = np.random.default_rng(5)
+        n = 60
+        S = sp.random(n, n, density=0.06, random_state=rng, format="csc")
+        S = sp.csc_matrix(S + 1j * sp.random(n, n, density=0.06,
+                                             random_state=rng, format="csc")
+                          + (5 + 2j) * sp.identity(n))
+        A = SparseCSC.from_scipy(S)
+        sym = klu_analyze(A)
+        num = klu_factor(A, sym)
+        plan, refactor, solve = klu_device(A, sym, num)
+        av = jnp.asarray(A.data * (1.5 - 0.5j))
+        f, Rs, ok = refactor(av)
+        assert bool(ok)
+        b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        x = np.asarray(solve(f, Rs, av, jnp.asarray(b)))
+        S2 = S * (1.5 - 0.5j)
+        assert np.abs(S2 @ x - b).max() < 1e-10
