@@ -57,18 +57,28 @@ class _Bucket:
     seg_src: np.ndarray = None     # indices into flat U, sorted by dest
     seg_ids: np.ndarray = None     # segment id per entry (sorted)
     seg_dst: np.ndarray = None     # unique destinations (K,)
+    smaps: tuple = None            # cached solve-phase scatter maps
 
     def segsum_maps(self, trash: int):
         if self.seg_dst is None:
-            flat = self.dest.reshape(-1)
-            real = np.nonzero(flat != trash)[0]
-            d = flat[real]
-            order = np.argsort(d, kind="stable")
-            self.seg_src = real[order].astype(INDEX)
-            uniq, ids = np.unique(d[order], return_inverse=True)
-            self.seg_dst = uniq.astype(INDEX)
-            self.seg_ids = ids.astype(INDEX)
+            self.seg_src, self.seg_ids, self.seg_dst = scatter_add_maps(
+                self.dest.reshape(-1), trash)
         return self.seg_src, self.seg_ids, self.seg_dst
+
+    def solve_maps(self, n: int):
+        """Static maps making the solve-phase scatters sorted (+unique):
+        (c_src, c_dst) reorder the per-column set x[cols] = xc, and
+        (r_src, r_ids, r_dst) turn the below-row update x[rows] -= upd into
+        a sorted segment_sum + sorted/unique scatter (duplicate rows across
+        supernodes of one bucket are folded on the fast path, pad rows are
+        dropped on the host instead of writing a trash row)."""
+        if self.smaps is None:
+            cflat = self.colidx.reshape(-1)
+            c_src, c_dst = sorted_scatter_maps(
+                np.where(cflat == n, -1, cflat))
+            r_src, r_ids, r_dst = scatter_add_maps(self.rowidx.reshape(-1), n)
+            self.smaps = (c_src, c_dst, r_src, r_ids, r_dst)
+        return self.smaps
 
 
 @dataclasses.dataclass
@@ -105,11 +115,18 @@ class NumericPlan:
         return tuple(out)
 
     def solve_arrays(self, dtype):
-        return tuple(
-            tuple((jnp.asarray(b.padeye, dtype=dtype),
-                   jnp.asarray(b.colidx), jnp.asarray(b.rowidx))
-                  for b in lv)
-            for lv in self.levels)
+        out = []
+        for lv in self.levels:
+            row = []
+            for b in lv:
+                c_src, c_dst, r_src, r_ids, r_dst = b.solve_maps(self.n)
+                row.append((jnp.asarray(b.padeye, dtype=dtype),
+                            jnp.asarray(b.colidx), jnp.asarray(b.rowidx),
+                            jnp.asarray(c_src), jnp.asarray(c_dst),
+                            jnp.asarray(r_src), jnp.asarray(r_ids),
+                            jnp.asarray(r_dst)))
+            out.append(tuple(row))
+        return tuple(out)
 
 
 def build_plan(ss: SuperSymbolic) -> NumericPlan:
@@ -269,6 +286,24 @@ def sorted_scatter_maps(dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return src[order].astype(INDEX), d[order].astype(INDEX)
 
 
+def scatter_add_maps(dst: np.ndarray,
+                     trash: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static maps turning a scatter-ADD with duplicate destinations into a
+    static gather + sorted segment_sum + sorted/unique scatter.
+
+    Returns (src, ids, uniq): value indices ordered by destination, the
+    segment id of each, and the unique destinations.  Entries equal to
+    `trash` are dropped.
+    """
+    flat = np.asarray(dst).reshape(-1)
+    real = np.nonzero(flat != trash)[0]
+    d = flat[real]
+    order = np.argsort(d, kind="stable")
+    src = real[order].astype(INDEX)
+    uniq, ids = np.unique(d[order], return_inverse=True)
+    return src, ids.astype(INDEX), uniq.astype(INDEX)
+
+
 def _a_sorted_maps(ss: SuperSymbolic):
     maps = getattr(ss, "_a_sorted", None)
     if maps is None:
@@ -409,11 +444,30 @@ def factorize_super(A: SparseCSC, sym: Symbolic, ss: SuperSymbolic,
 #         reference Supernodal/t_cholmod_super_solve.c:89-195)
 # ---------------------------------------------------------------------------
 
+def _set_cols(x, xc, c_src, c_dst):
+    """x[cols] = xc through sorted+unique static maps (vectorized scatter)."""
+    k = xc.shape[-1]
+    return x.at[c_dst].set(xc.reshape(-1, k)[c_src],
+                           indices_are_sorted=True, unique_indices=True,
+                           mode="promise_in_bounds")
+
+
+def _sub_rows(x, upd, r_src, r_ids, r_dst):
+    """x[rows] -= upd with duplicate rows folded by a sorted segment_sum
+    and a sorted/unique scatter (same lowering trick as the extend-add)."""
+    k = upd.shape[-1]
+    u = upd.reshape(-1, k)[r_src]
+    seg = jax.ops.segment_sum(u, r_ids, num_segments=r_dst.shape[0],
+                              indices_are_sorted=True)
+    return x.at[r_dst].add(-seg, indices_are_sorted=True,
+                           unique_indices=True, mode="promise_in_bounds")
+
+
 @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
 def _lsolve_impl(Lx, x, level_arrays, meta):
     for li in range(len(meta)):
-        for (pe, cidx, ridx), (Np, Mb, base, B) in zip(level_arrays[li],
-                                                       meta[li]):
+        for (pe, cidx, ridx, c_src, c_dst, r_src, r_ids, r_dst), \
+                (Np, Mb, base, B) in zip(level_arrays[li], meta[li]):
             Mp = Np + Mb
             P = jax.lax.dynamic_slice(Lx, (base,), (B * Mp * Np,))
             P = P.reshape(B, Mp, Np)
@@ -421,21 +475,20 @@ def _lsolve_impl(Lx, x, level_arrays, meta):
             xc = x[cidx]
             xc = jax.lax.linalg.triangular_solve(C, xc, left_side=True,
                                                  lower=True)
-            x = x.at[cidx].set(xc, mode="drop")
-            if Mb:
+            x = _set_cols(x, xc, c_src, c_dst)
+            if Mb and r_src.shape[0]:
                 Bm = P[:, Np:, :]
                 upd = jnp.einsum("bmc,bck->bmk", Bm, xc,
                                  preferred_element_type=x.dtype)
-                x = x.at[ridx.reshape(-1)].add(
-                    -upd.reshape(-1, upd.shape[-1]), mode="drop")
+                x = _sub_rows(x, upd, r_src, r_ids, r_dst)
     return x
 
 
 @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(1,))
 def _ltsolve_impl(Lx, x, level_arrays, meta):
     for li in range(len(meta) - 1, -1, -1):
-        for (pe, cidx, ridx), (Np, Mb, base, B) in zip(level_arrays[li],
-                                                       meta[li]):
+        for (pe, cidx, ridx, c_src, c_dst, r_src, r_ids, r_dst), \
+                (Np, Mb, base, B) in zip(level_arrays[li], meta[li]):
             Mp = Np + Mb
             P = jax.lax.dynamic_slice(Lx, (base,), (B * Mp * Np,))
             P = P.reshape(B, Mp, Np)
@@ -448,7 +501,7 @@ def _ltsolve_impl(Lx, x, level_arrays, meta):
                                      preferred_element_type=x.dtype)
             xc = jax.lax.linalg.triangular_solve(C, xc, left_side=True,
                                                  lower=True, transpose_a=True)
-            x = x.at[cidx].set(xc, mode="drop")
+            x = _set_cols(x, xc, c_src, c_dst)
     return x
 
 

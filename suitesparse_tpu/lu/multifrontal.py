@@ -39,7 +39,8 @@ from ..core.status import SparseError, Status
 from ..graph import maxtrans
 from ..cholesky.supernodal import SuperSymbolic, super_symbolic
 from ..cholesky.symbolic import Symbolic, analyze
-from ..cholesky.super_numeric import NumericPlan, build_plan
+from ..cholesky.super_numeric import (NumericPlan, build_plan, _set_cols,
+                                      _sub_rows)
 
 
 @dataclasses.dataclass
@@ -435,7 +436,8 @@ def _lu_lsolve_impl(Lb, x, pivs, level_arrays, meta):
     """Forward: y = L \\ (P_blk x) — per-supernode block pivots applied,
     unit-lower solve, updates pushed into below rows (UMFPACK_L family)."""
     for li in range(len(meta)):
-        for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
+        for bi, ((pe, cidx, ridx, c_src, c_dst, r_src, r_ids, r_dst),
+                 (Np, Mb, base, B)) in enumerate(
                 zip(level_arrays[li], meta[li])):
             Mp = Np + Mb
             perm = pivs[li][bi]
@@ -448,13 +450,12 @@ def _lu_lsolve_impl(Lb, x, pivs, level_arrays, meta):
             xc = jax.lax.linalg.triangular_solve(L11, xc, left_side=True,
                                                  lower=True,
                                                  unit_diagonal=True)
-            x = x.at[cidx].set(xc, mode="drop")
-            if Mb:
+            x = _set_cols(x, xc, c_src, c_dst)
+            if Mb and r_src.shape[0]:
                 L21 = PL[:, Np:, :]
                 upd = jnp.einsum("bmc,bck->bmk", L21, xc,
                                  preferred_element_type=x.dtype)
-                x = x.at[ridx.reshape(-1)].add(
-                    -upd.reshape(-1, upd.shape[-1]), mode="drop")
+                x = _sub_rows(x, upd, r_src, r_ids, r_dst)
     return x
 
 
@@ -462,7 +463,8 @@ def _lu_lsolve_impl(Lb, x, pivs, level_arrays, meta):
 def _lu_usolve_impl(Lb, Ub, x, pivs, level_arrays, meta):
     """Backward: y = U \\ x (UMFPACK_U family)."""
     for li in range(len(meta) - 1, -1, -1):
-        for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
+        for bi, ((pe, cidx, ridx, c_src, c_dst, r_src, r_ids, r_dst),
+                 (Np, Mb, base, B)) in enumerate(
                 zip(level_arrays[li], meta[li])):
             Mp = Np + Mb
             PL = jax.lax.dynamic_slice(Lb, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
@@ -477,7 +479,7 @@ def _lu_usolve_impl(Lb, Ub, x, pivs, level_arrays, meta):
                                      preferred_element_type=x.dtype)
             xc = jax.lax.linalg.triangular_solve(U11, xc, left_side=True,
                                                  lower=False)
-            x = x.at[cidx].set(xc, mode="drop")
+            x = _set_cols(x, xc, c_src, c_dst)
     return x
 
 
@@ -486,7 +488,8 @@ def _lu_utsolve_impl(Lb, Ub, x, pivs, level_arrays, meta, conj=False):
     """Forward: y = U^{T (or H)} \\ x — U' is lower (UMFPACK_Ut family)."""
     cj = jnp.conj if conj else (lambda a: a)
     for li in range(len(meta)):
-        for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
+        for bi, ((pe, cidx, ridx, c_src, c_dst, r_src, r_ids, r_dst),
+                 (Np, Mb, base, B)) in enumerate(
                 zip(level_arrays[li], meta[li])):
             Mp = Np + Mb
             PL = jax.lax.dynamic_slice(Lb, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
@@ -495,14 +498,13 @@ def _lu_utsolve_impl(Lb, Ub, x, pivs, level_arrays, meta, conj=False):
             xc = x[cidx]
             xc = jax.lax.linalg.triangular_solve(U11, xc, left_side=True,
                                                  lower=False, transpose_a=True)
-            x = x.at[cidx].set(xc, mode="drop")
-            if Mb:
+            x = _set_cols(x, xc, c_src, c_dst)
+            if Mb and r_src.shape[0]:
                 PU = jax.lax.dynamic_slice(Ub, (base,), (B * Mp * Np,)).reshape(B, Mp, Np)
                 U12t = cj(PU[:, Np:, :])         # (B, Mb, Np) = U12'
                 upd = jnp.einsum("bmc,bck->bmk", U12t, xc,
                                  preferred_element_type=x.dtype)
-                x = x.at[ridx.reshape(-1)].add(
-                    -upd.reshape(-1, upd.shape[-1]), mode="drop")
+                x = _sub_rows(x, upd, r_src, r_ids, r_dst)
     return x
 
 
@@ -512,7 +514,8 @@ def _lu_ltsolve_impl(Lb, x, pivs, level_arrays, meta, conj=False):
     per supernode (UMFPACK_Lt family)."""
     cj = jnp.conj if conj else (lambda a: a)
     for li in range(len(meta) - 1, -1, -1):
-        for bi, ((pe, cidx, ridx), (Np, Mb, base, B)) in enumerate(
+        for bi, ((pe, cidx, ridx, c_src, c_dst, r_src, r_ids, r_dst),
+                 (Np, Mb, base, B)) in enumerate(
                 zip(level_arrays[li], meta[li])):
             Mp = Np + Mb
             perm = pivs[li][bi]
@@ -532,7 +535,7 @@ def _lu_ltsolve_impl(Lb, x, pivs, level_arrays, meta, conj=False):
             # so scatter back through the inverse permutation
             inv = jnp.argsort(perm, axis=1)
             xc = jnp.take_along_axis(xc, inv[:, :, None], axis=1)
-            x = x.at[cidx].set(xc, mode="drop")
+            x = _set_cols(x, xc, c_src, c_dst)
     return x
 
 

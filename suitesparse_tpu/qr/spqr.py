@@ -31,6 +31,32 @@ from ..core.sparse import INDEX, SparseCSC, SYM_UPPER
 from ..core.status import SparseError, Status
 from ..cholesky.supernodal import SuperSymbolic, super_symbolic, _pad_dim
 from ..cholesky.symbolic import Symbolic, analyze
+from ..cholesky.super_numeric import sorted_scatter_maps
+
+
+def _sorted_pair(bq, key: str, src: np.ndarray, dst: np.ndarray):
+    """Cache (src, dst) reordered by destination so the assembly scatter can
+    promise sorted+unique indices (vectorized one-pass update on TPU; same
+    lowering trick as the Cholesky extend-add, NOTES_ROUND1.md)."""
+    maps = bq.__dict__.get(key)
+    if maps is None:
+        dst = np.asarray(dst)
+        order = np.argsort(dst, kind="stable")
+        maps = (np.asarray(src)[order].astype(INDEX),
+                dst[order].astype(INDEX))
+        bq.__dict__[key] = maps
+    return maps
+
+
+def _sorted_drop(bq, key: str, dst: np.ndarray, trash: int):
+    """Cache (src, dst) maps for an output scatter whose pad entries point
+    at the single trash slot: drop pads on the host, sort by destination."""
+    maps = bq.__dict__.get(key)
+    if maps is None:
+        flat = np.asarray(dst).reshape(-1)
+        maps = sorted_scatter_maps(np.where(flat == trash, -1, flat))
+        bq.__dict__[key] = maps
+    return maps
 
 
 @dataclasses.dataclass
@@ -298,20 +324,31 @@ def qr_factorize(A: SparseCSC, S: QRSymbolic, b: Optional[np.ndarray] = None,
             B = len(bq.sids)
             W = jnp.zeros(B * bq.FR * bq.FC, dtype=dtype)
             if len(bq.a_src):
-                W = W.at[jnp.asarray(bq.a_dst)].set(avals[jnp.asarray(bq.a_src)])
+                asrc, adst = _sorted_pair(bq, "_a_maps", bq.a_src, bq.a_dst)
+                W = W.at[jnp.asarray(adst)].set(
+                    avals[jnp.asarray(asrc)], indices_are_sorted=True,
+                    unique_indices=True, mode="promise_in_bounds")
             if len(bq.c_src):
-                W = W.at[jnp.asarray(bq.c_dst)].set(Cbuf[jnp.asarray(bq.c_src)])
+                csrc, cdst = _sorted_pair(bq, "_c_maps", bq.c_src, bq.c_dst)
+                W = W.at[jnp.asarray(cdst)].set(
+                    Cbuf[jnp.asarray(csrc)], indices_are_sorted=True,
+                    unique_indices=True, mode="promise_in_bounds")
             F = W.reshape(B, bq.FR, bq.FC)
             # carried B block
             WB = jnp.zeros((B * bq.FR, k), dtype=dtype)
             if bk is not None:
                 br = bq.b_rows.reshape(-1)
                 ok = br >= 0
-                WB = WB.at[jnp.where(ok)[0]].set(
-                    jnp.asarray(bk[br[ok]], dtype=dtype))
+                WB = WB.at[jnp.asarray(np.where(ok)[0])].set(
+                    jnp.asarray(bk[br[ok]], dtype=dtype),
+                    indices_are_sorted=True, unique_indices=True,
+                    mode="promise_in_bounds")
             if len(bq.c_brow_src):
-                WB = WB.at[jnp.asarray(bq.c_brow_dst)].set(
-                    CBbuf[jnp.asarray(bq.c_brow_src)])
+                cbsrc, cbdst = _sorted_pair(bq, "_cb_maps", bq.c_brow_src,
+                                            bq.c_brow_dst)
+                WB = WB.at[jnp.asarray(cbdst)].set(
+                    CBbuf[jnp.asarray(cbsrc)], indices_are_sorted=True,
+                    unique_indices=True, mode="promise_in_bounds")
             FB = WB.reshape(B, bq.FR, k)
 
             Q, R = jnp.linalg.qr(F, mode="complete" if keep_q else "reduced")
@@ -327,18 +364,26 @@ def qr_factorize(A: SparseCSC, S: QRSymbolic, b: Optional[np.ndarray] = None,
             npad = bq.r_dst.shape[2]
             Rt = Rt[:, :, :npad] if mn >= npad else jnp.pad(
                 Rt, ((0, 0), (0, 0), (0, npad - mn)))
-            Rbuf = Rbuf.at[jnp.asarray(rd).reshape(-1)].set(
-                Rt.reshape(-1), mode="drop")
+            rsrc, rdst = _sorted_drop(bq, "_r_maps", rd, S.total_R)
+            Rbuf = Rbuf.at[jnp.asarray(rdst)].set(
+                Rt.reshape(-1)[jnp.asarray(rsrc)], indices_are_sorted=True,
+                unique_indices=True, mode="promise_in_bounds")
             # C block + carried rows into buffers
             cd = bq.c_out_dst                          # (B, FR, FC)
             Rfull = jnp.zeros((B, bq.FR, bq.FC), dtype=dtype)
             Rfull = Rfull.at[:, :mn, :].set(R)
-            Cbuf = Cbuf.at[jnp.asarray(cd).reshape(-1)].set(
-                Rfull.reshape(-1), mode="drop")
+            osrc, odst = _sorted_drop(bq, "_cout_maps", cd, S.total_C)
+            Cbuf = Cbuf.at[jnp.asarray(odst)].set(
+                Rfull.reshape(-1)[jnp.asarray(osrc)], indices_are_sorted=True,
+                unique_indices=True, mode="promise_in_bounds")
             QtBfull = jnp.zeros((B, bq.FR, k), dtype=dtype)
             QtBfull = QtBfull.at[:, :mn, :].set(QtB)
-            CBbuf = CBbuf.at[jnp.asarray(bq.cb_out_dst).reshape(-1)].set(
-                QtBfull.reshape(B * bq.FR, k), mode="drop")
+            bsrc, bdst = _sorted_drop(bq, "_cbout_maps", bq.cb_out_dst,
+                                      S.total_CB)
+            CBbuf = CBbuf.at[jnp.asarray(bdst)].set(
+                QtBfull.reshape(B * bq.FR, k)[jnp.asarray(bsrc)],
+                indices_are_sorted=True, unique_indices=True,
+                mode="promise_in_bounds")
             # qtb top rows (host accumulate)
             if bk is not None:
                 qtb_h = np.asarray(QtB)
