@@ -90,6 +90,27 @@ class NumericPlan:
     total: int
     n: int
     meta: tuple             # static shapes: per level, per bucket (Np,Mb,base,B)
+    _wave: object = None    # cached WavePlan (wave.py), built on demand
+
+    @property
+    def nbuckets(self) -> int:
+        return sum(len(lv) for lv in self.levels)
+
+    def wave_plan(self):
+        if self._wave is None:
+            from .wave import build_wave_plan
+            self._wave = build_wave_plan(self)
+        return self._wave
+
+    def use_wave(self, common=None) -> bool:
+        cm = common or default_common()
+        mode = cm.cholesky.program
+        if mode == "auto":
+            import os
+            mode = os.environ.get("SSTPU_PROGRAM", "auto")
+        if mode == "auto":
+            return self.nbuckets > cm.cholesky.wave_threshold
+        return mode == "wave"
 
     def arrays(self, dtype):
         return tuple(
@@ -283,7 +304,13 @@ def sorted_scatter_maps(dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     src = np.nonzero(np.asarray(dst) >= 0)[0]
     d = np.asarray(dst)[src]
     order = np.argsort(d, kind="stable")
-    return src[order].astype(INDEX), d[order].astype(INDEX)
+    dsort = d[order]
+    # the device scatter promises sorted AND unique indices; a duplicate
+    # destination (e.g. duplicate entries in the input matrix feeding the
+    # assembly map) would silently miscompute on device — fail loudly here
+    assert np.all(np.diff(dsort) > 0), \
+        "sorted_scatter_maps: duplicate destinations (non-unique scatter)"
+    return src[order].astype(INDEX), dsort.astype(INDEX)
 
 
 def scatter_add_maps(dst: np.ndarray,
@@ -301,6 +328,9 @@ def scatter_add_maps(dst: np.ndarray,
     order = np.argsort(d, kind="stable")
     src = real[order].astype(INDEX)
     uniq, ids = np.unique(d[order], return_inverse=True)
+    # np.unique guarantees strictly increasing uniq; assert the contract the
+    # device-side sorted/unique scatter relies on (cheap, host, once)
+    assert uniq.size == 0 or np.all(np.diff(uniq) > 0)
     return src, ids.astype(INDEX), uniq.astype(INDEX)
 
 
@@ -411,12 +441,17 @@ def factorize_super(A: SparseCSC, sym: Symbolic, ss: SuperSymbolic,
     import os
     segsum = os.environ.get("SSTPU_EXTEND_ADD", "segsum") == "segsum"
     vals = _assemble_values(A, sym, ss, dtype)
-    a_src, a_dst = _a_sorted_maps(ss)
-    arrays = plan.arrays_segsum(dtype) if segsum else plan.arrays(dtype)
-    Lx = _numeric_program(jnp.asarray(vals), jnp.asarray(a_src),
-                          jnp.asarray(a_dst), arrays, plan.meta,
-                          plan.total, segsum,
-                          segsum and cm.cholesky.syrk_bf16)
+    if plan.use_wave(cm):
+        from .wave import wave_numeric
+        Lx = wave_numeric(vals, plan.wave_plan(), dtype,
+                          cm.cholesky.syrk_bf16)
+    else:
+        a_src, a_dst = _a_sorted_maps(ss)
+        arrays = plan.arrays_segsum(dtype) if segsum else plan.arrays(dtype)
+        Lx = _numeric_program(jnp.asarray(vals), jnp.asarray(a_src),
+                              jnp.asarray(a_dst), arrays, plan.meta,
+                              plan.total, segsum,
+                              segsum and cm.cholesky.syrk_bf16)
     Lx.block_until_ready()
     t = cm.toc("factorize")
 
@@ -505,7 +540,8 @@ def _ltsolve_impl(Lx, x, level_arrays, meta):
     return x
 
 
-def solve_super(f: SuperFactor, b: np.ndarray, system: str = "A") -> np.ndarray:
+def solve_super(f: SuperFactor, b: np.ndarray, system: str = "A",
+                common: Optional[Common] = None) -> np.ndarray:
     """cholmod_solve on a supernodal factor. Systems: A, LLt, L, Lt, P, Pt."""
     plan = f.plan
     n = plan.n
@@ -513,12 +549,22 @@ def solve_super(f: SuperFactor, b: np.ndarray, system: str = "A") -> np.ndarray:
     one_d = b.ndim == 1
     bk = b.reshape(n, 1) if one_d else b
     k = bk.shape[1]
-    la = plan.solve_arrays(f.dtype)
-    meta = plan.meta
     perm = f.perm
+    if plan.use_wave(common):
+        from .wave import wave_lsolve, wave_ltsolve
+        wp = plan.wave_plan()
+        xrows = n + wp.xpad
+        lsolve = lambda Lx, x: wave_lsolve(wp, Lx, x)          # noqa: E731
+        ltsolve = lambda Lx, x: wave_ltsolve(wp, Lx, x)        # noqa: E731
+    else:
+        xrows = n + 1
+        la = plan.solve_arrays(f.dtype)
+        meta = plan.meta
+        lsolve = lambda Lx, x: _lsolve_impl(Lx, x, la, meta)   # noqa: E731
+        ltsolve = lambda Lx, x: _ltsolve_impl(Lx, x, la, meta)  # noqa: E731
 
     def _pad(v):
-        x = jnp.zeros((n + 1, k), dtype=f.dtype)
+        x = jnp.zeros((xrows, k), dtype=f.dtype)
         return x.at[:n, :].set(jnp.asarray(v, dtype=f.dtype))
 
     if system == "P":
@@ -527,19 +573,19 @@ def solve_super(f: SuperFactor, b: np.ndarray, system: str = "A") -> np.ndarray:
         out = np.empty_like(bk)
         out[perm] = bk
     elif system == "A":
-        x = _lsolve_impl(f.Lx, _pad(bk[perm]), la, meta)
-        x = _ltsolve_impl(f.Lx, x, la, meta)
+        x = lsolve(f.Lx, _pad(bk[perm]))
+        x = ltsolve(f.Lx, x)
         xh = np.asarray(x[:n])
         out = np.empty_like(xh)
         out[perm] = xh
     elif system in ("LLt", "LDLt"):
-        x = _lsolve_impl(f.Lx, _pad(bk), la, meta)
-        x = _ltsolve_impl(f.Lx, x, la, meta)
+        x = lsolve(f.Lx, _pad(bk))
+        x = ltsolve(f.Lx, x)
         out = np.asarray(x[:n])
     elif system == "L":
-        out = np.asarray(_lsolve_impl(f.Lx, _pad(bk), la, meta)[:n])
+        out = np.asarray(lsolve(f.Lx, _pad(bk))[:n])
     elif system == "Lt":
-        out = np.asarray(_ltsolve_impl(f.Lx, _pad(bk), la, meta)[:n])
+        out = np.asarray(ltsolve(f.Lx, _pad(bk))[:n])
     else:
         raise ValueError(f"unknown system {system!r}")
     return out.reshape(-1) if one_d else out

@@ -44,6 +44,18 @@ def _pad_dim(x: int, grain: int = 8, max_pow2: int = 128) -> int:
     return ((x + max_pow2 - 1) // max_pow2) * max_pow2
 
 
+def _pad_dim_coarse(x: int) -> int:
+    """Coarse shape ladder {8, 32, 128, k*256}: far fewer distinct panel
+    shape classes, so the wave program (wave.py) compiles in O(few)
+    branches.  The extra padding costs flops/storage the MXU shrugs off —
+    the compile-time and dispatch savings dominate (NOTES_ROUND1.md
+    ablation: slicing/dispatch floor >> SYRK flops at these sizes)."""
+    for v in (8, 32, 128):
+        if x <= v:
+            return v
+    return ((x + 255) // 256) * 256
+
+
 @dataclasses.dataclass
 class SuperSymbolic:
     """Supernodal symbolic factor + all static maps for the numeric phase.
@@ -75,6 +87,7 @@ class SuperSymbolic:
     # static maps for numeric
     a_scatter_dst: np.ndarray  # flat positions in Lx for tril(PAP') nonzeros
     a_scatter_src: np.ndarray  # corresponding indices into P.data
+    wave_w: Optional[dict] = None  # (Np, Mb) -> wave batch size (wave.py)
 
     def panel_shape(self, s: int) -> tuple[int, int]:
         ms = int(self.sn_rowptr[s + 1] - self.sn_rowptr[s])
@@ -99,26 +112,58 @@ class SuperSymbolic:
                 + np.asarray(rel_cols))
 
 
-def _assign_layout(levels, shapes):
+def _pick_wave(Np: int, Mb: int, bs: list[int]) -> int:
+    """Wave size for a (Np, Mb) shape class given its bucket sizes.
+
+    A wave is the unit batch of the scanned numeric program (wave.py): big
+    buckets split into several waves, small buckets pad up to one wave.
+    Sizing: the mean bucket size (weighted toward where the work is),
+    rounded up to a power of two, clamped so one wave's panel slice stays
+    comfortably in VMEM-scale working memory."""
+    w = 1
+    target = float(np.mean(bs))
+    while w < target:
+        w *= 4          # pow4 ladder: fewer distinct (W, shape) kernels
+    panel = (Np + Mb) * Np
+    while w > 1 and w * panel * 4 > (64 << 20):
+        w //= 4
+    return max(w, 1)
+
+
+def _assign_layout(levels, shapes, ladder: str = "coarse"):
     """Bucket supernodes per level by padded shape and assign contiguous
     padded panel offsets in schedule order.
 
     shapes: list of (ms, ns) per supernode.  Returns (panel_off, panel_Np,
-    panel_Mp, total, level_buckets).
+    panel_Mp, total, level_buckets, wave_w).  Each bucket's panel block is
+    rounded up to a whole number of waves (wave_w[(Np, Mb)] panels) so the
+    scanned wave program can slice uniform chunks; the pad tail is dead
+    zero storage the unrolled program simply never touches.
     """
+    pad = _pad_dim_coarse if ladder == "coarse" else _pad_dim
     nsuper = len(shapes)
     panel_off = np.zeros(nsuper, dtype=INDEX)
     panel_Np = np.zeros(nsuper, dtype=INDEX)
     panel_Mp = np.zeros(nsuper, dtype=INDEX)
-    level_buckets = []
-    base = 0
+    # pass 1: group per level, collect bucket sizes per shape class
+    per_level_groups = []
+    class_bs: dict[tuple[int, int], list[int]] = {}
     for level in levels:
         groups: dict[tuple[int, int], list[int]] = {}
         for s in np.asarray(level).tolist():
             ms, ns = shapes[s]
             mb = ms - ns
-            key = (_pad_dim(ns), _pad_dim(mb) if mb else 0)
+            key = (pad(ns), pad(mb) if mb else 0)
             groups.setdefault(key, []).append(s)
+        per_level_groups.append(groups)
+        for key, sids in groups.items():
+            class_bs.setdefault(key, []).append(len(sids))
+    wave_w = {(Np, Mb): _pick_wave(Np, Mb, bs)
+              for (Np, Mb), bs in class_bs.items()}
+    # pass 2: assign offsets, reserving pad space to a whole wave count
+    level_buckets = []
+    base = 0
+    for groups in per_level_groups:
         buckets = []
         for (Np, Mb), sids in sorted(groups.items()):
             bbase = base
@@ -127,9 +172,12 @@ def _assign_layout(levels, shapes):
                 panel_Np[s] = Np
                 panel_Mp[s] = Np + Mb
                 base += (Np + Mb) * Np
+            W = wave_w[(Np, Mb)]
+            nwave = -(-len(sids) // W)
+            base = bbase + nwave * W * (Np + Mb) * Np
             buckets.append((Np, Mb, bbase, np.array(sids, dtype=INDEX)))
         level_buckets.append(buckets)
-    return panel_off, panel_Np, panel_Mp, int(base), level_buckets
+    return panel_off, panel_Np, panel_Mp, int(base), level_buckets, wave_w
 
 
 def super_symbolic(A: SparseCSC, sym: Symbolic,
@@ -301,8 +349,8 @@ def super_symbolic(A: SparseCSC, sym: Symbolic,
     # --- padded bucket-contiguous panel layout ----------------------------
     shapes = [(int(sn_rowptr[s + 1] - sn_rowptr[s]),
                int(super_[s + 1] - super_[s])) for s in range(nsuper)]
-    panel_off, panel_Np, panel_Mp, total, level_buckets = _assign_layout(
-        levels, shapes)
+    panel_off, panel_Np, panel_Mp, total, level_buckets, wave_w = \
+        _assign_layout(levels, shapes, ladder=opts.shape_ladder)
 
     ss = SuperSymbolic(
         n=n, nsuper=nsuper, super=super_, col_to_super=col_to_super,
@@ -310,7 +358,7 @@ def super_symbolic(A: SparseCSC, sym: Symbolic,
         panel_Np=panel_Np, panel_Mp=panel_Mp,
         total=total, sn_parent=sn_parent, levels=levels,
         level_buckets=level_buckets, lnz_dense=total,
-        a_scatter_dst=None, a_scatter_src=None)
+        a_scatter_dst=None, a_scatter_src=None, wave_w=wave_w)
 
     # --- A scatter map -----------------------------------------------------
     # tril(PAP') entry (i, j) -> normalized padded position in panel of

@@ -53,6 +53,20 @@ class CholeskyOptions:
     # MXU).  Opt-in: pairs with iterative refinement for accuracy (no
     # reference analog; TPU mixed-precision knob).
     syrk_bf16: bool = False
+    # Numeric/solve program form: "unrolled" traces one op chain per
+    # (level, bucket) — fastest at runtime for small patterns but compile
+    # time is O(#buckets); "wave" compiles a lax.scan over a static
+    # instruction stream with lax.switch over shape classes — compile time
+    # O(#distinct shapes), the only viable form for real patterns (see
+    # cholesky/wave.py).  "auto" picks by bucket count.
+    program: str = "auto"               # auto | unrolled | wave
+    # auto threshold: use the wave program when the schedule has more
+    # buckets than this (compile cost ~linear in bucket count).
+    wave_threshold: int = 32
+    # Panel shape ladder: "coarse" {8,32,128,k*256} minimizes the number of
+    # distinct shape classes (compile time, dispatch); "fine" pads tighter
+    # (less flop/storage waste) at the cost of many more compiled shapes.
+    shape_ladder: str = "coarse"
     # AMD dense-row handling (amd.h:140-148): rows with > dense*sqrt(n)
     # entries are deferred to the end of the order.
     amd_dense: float = 10.0

@@ -88,24 +88,29 @@ def symmetrize_upper(A: SparseCSC) -> SparseCSC:
     return SparseCSC(U.indptr, U.indices, U.data, U.shape, stype=SYM_UPPER)
 
 
+# Honest synthetic names only.  These are parametric generator names — a
+# synthetic matrix is NEVER served under a real collection matrix's name
+# (a real name either resolves to a genuine file via io.fixtures /
+# the cache, or raises).  Size classes comparable to the BASELINE families
+# are noted for benchmark configuration:
+#   lap3d_28  ~ nd6k scale   (n=21952, fl ~ 3.7e9)
+#   lap3d_44  ~ nd24k scale  (n=85184, fl ~ 6e10)
+#   lap3d_64  ~ audikw scale (n=262144)
 _STANDINS = {
-    # SPD families (BASELINE configs: bcsstk -> audikw_1, nd24k)
-    "bcsstk01": lambda: laplacian_2d(7),
-    "bcsstk16": lambda: laplacian_3d(12),
-    "nd6k": lambda: laplacian_3d(28),
-    "nd24k": lambda: laplacian_3d(42),
-    "audikw_1": lambda: laplacian_3d(48),
-    # unsymmetric families
-    "west0479": lambda: random_unsym(479, density=0.008, seed=3),
-    "west0067": lambda: random_unsym(67, density=0.06, seed=4),
-    "torso3": lambda: random_unsym(4000, density=0.002, seed=5),
-    # circuit matrices (KLU demo class)
-    "rajat11": lambda: circuit_like(135, seed=7),
-    "rajat14": lambda: circuit_like(180, seed=8),
-    "onetone2": lambda: circuit_like(3000, seed=9),
+    "lap2d": laplacian_2d,
+    "lap3d": laplacian_3d,
+    "randspd": lambda n: random_spd(n, density=min(0.02, 40.0 / n)),
+    "randunsym": lambda n: random_unsym(n, density=min(0.02, 40.0 / n)),
+    "circuit": circuit_like,
 }
 
 
 def synthetic_standin(name: str) -> Optional[SparseCSC]:
-    fn = _STANDINS.get(name)
-    return fn() if fn else None
+    """Parse parametric synthetic names: 'lap3d_28', 'circuit_3000', …"""
+    if "_" not in name:
+        return None
+    fam, _, arg = name.rpartition("_")
+    fn = _STANDINS.get(fam)
+    if fn is None or not arg.isdigit():
+        return None
+    return fn(int(arg))

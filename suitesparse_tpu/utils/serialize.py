@@ -114,8 +114,8 @@ def load_super_factor(path):
                int(arr["super"][s + 1] - arr["super"][s]))
               for s in range(nsuper)]
     # layout assignment is deterministic given (levels, shapes)
-    panel_off, panel_Np, panel_Mp, total, level_buckets = _assign_layout(
-        levels, shapes)
+    panel_off, panel_Np, panel_Mp, total, level_buckets, wave_w = \
+        _assign_layout(levels, shapes)
     assert total == meta["total"], "layout mismatch on load"
     ss = SuperSymbolic(n=meta["n"], nsuper=nsuper, super=arr["super"],
                        col_to_super=arr["col_to_super"],
@@ -125,7 +125,7 @@ def load_super_factor(path):
                        sn_parent=arr["sn_parent"], levels=levels,
                        level_buckets=level_buckets,
                        lnz_dense=total, a_scatter_dst=arr["a_dst"],
-                       a_scatter_src=arr["a_src"])
+                       a_scatter_src=arr["a_src"], wave_w=wave_w)
     plan = build_plan(ss)
     return SuperFactor(plan=plan, Lx=jnp.asarray(arr["Lx"]), perm=arr["perm"],
                        minor=meta["minor"], dtype=np.dtype(meta["dtype"]))

@@ -201,10 +201,19 @@ class TestGenerators:
             assert np.allclose(D, D.T)
             assert np.linalg.eigvalsh(D).min() > 0
 
-    def test_collection_standin(self):
+    def test_collection_genuine_fixture(self):
+        """Real names resolve to the genuine reference fixtures (n=48 for
+        the real HB/bcsstk01), never a synthetic stand-in."""
         from suitesparse_tpu.io import collection
         A = collection.get("HB/bcsstk01")
-        assert A.nrow == 49
+        assert A.nrow == 48
+
+    def test_collection_honest_synthetic_names(self):
+        from suitesparse_tpu.io import collection
+        A = collection.get("lap3d_6")
+        assert A.nrow == 216
+        with pytest.raises(FileNotFoundError):
+            collection.get("nd6k")   # real name, no file: must NOT serve a standin
 
 
 class TestTortureInputs:
@@ -244,6 +253,30 @@ class TestCollectionStats:
     def test_stats_and_index(self):
         from suitesparse_tpu.io import collection
         rec = collection.stats("HB/bcsstk01")
-        assert rec["is_square"] and rec["nrow"] == 49
+        assert rec["nrows"] == 48 and rec["nnz"] > 0
         idx = collection.index(["bcsstk01", "west0067"])
         assert len(idx) == 2 and idx[0]["nnz"] > 0
+
+    def test_ssstats_index(self):
+        """ssstats.csv parse (ssgui.java:1055-1105 column layout)."""
+        from suitesparse_tpu.io import collection
+        idx = collection.stats_index()
+        if not idx:
+            pytest.skip("no ssstats.csv available")
+        assert len(idx) > 2000
+        rec = collection.lookup("HB/bcsstk16")
+        assert rec is not None and rec["nrows"] == 4884 and rec["posdef"]
+        # property-driven selection: big SPD matrices
+        picks = collection.search(min_n=4000, max_n=20000, posdef=True)
+        assert any(r["name"] == "bcsstk16" for r in picks)
+
+    def test_genuine_fixture_loaders(self):
+        from suitesparse_tpu.io import fixtures
+        if fixtures.reference_root() is None:
+            pytest.skip("reference not mounted")
+        A = fixtures.load("bcsstk16")      # CSparse triplet format
+        assert A.shape == (4884, 4884)
+        W = fixtures.load("west0479")      # Rutherford-Boeing
+        assert W.shape == (479, 479)
+        K = fixtures.load("impcol_a")      # MatrixMarket
+        assert K.shape == (207, 207)
