@@ -790,12 +790,39 @@ def umf_lunz(num: UmfNumeric) -> tuple[int, int]:
     return lnz, unz
 
 
+def _perm_parity(p) -> float:
+    """Sign of a permutation vector (determinant of its permutation
+    matrix), by cycle counting: sign = (-1)^(n - #cycles)."""
+    p = np.asarray(p, dtype=np.int64)
+    n = p.size
+    seen = np.zeros(n, dtype=bool)
+    sign = 1.0
+    for i in range(n):
+        if seen[i]:
+            continue
+        j, length = i, 0
+        while not seen[j]:
+            seen[j] = True
+            j = int(p[j])
+            length += 1
+        if length % 2 == 0:
+            sign = -sign
+    return sign
+
+
 def umf_determinant(num: UmfNumeric) -> tuple[float, float]:
-    """umfpack_get_determinant: (mantissa, exponent10) of det(A)."""
+    """umfpack_get_determinant: (mantissa, exponent10) of det(A).
+
+    Permutation parity is accounted exactly (umfpack_get_determinant.c):
+    fill/matching row+col perms, BTF perms, and the per-block partial
+    pivots each contribute their sign.
+    """
     if num.bnums is not None:
-        # product over blocks: 1x1 pivots and inner determinants
+        # product over blocks: 1x1 pivots and inner determinants;
+        # det(A) = parity(p)·parity(q)·prod(det(diag blocks of PAQ))
         sg = num.symbolic.singles
-        logdet, sign = 0.0, 1.0
+        logdet = 0.0
+        sign = _perm_parity(sg.p) * _perm_parity(sg.q)
         for k, bn in enumerate(num.bnums):
             r0 = int(sg.r[k])
             if bn is None:
@@ -810,7 +837,6 @@ def umf_determinant(num: UmfNumeric) -> tuple[float, float]:
                 logdet += np.log(max(abs(m_k), 1e-300)) + e_k * np.log(10.0)
         e = np.floor(logdet / np.log(10.0))
         m = sign * np.exp(logdet - e * np.log(10.0))
-        # permutation parity omitted as in the single-block path (documented)
         if np.iscomplexobj(m):
             return complex(m), float(e)
         return float(m), float(e)
@@ -818,7 +844,13 @@ def umf_determinant(num: UmfNumeric) -> tuple[float, float]:
     ss = S.ss
     h = np.asarray(num.Lb)
     logdet = 0.0
-    sign = 1.0
+    # det(A) = parity(a_perm_rows)·parity(a_perm_cols)·parity(block pivots)
+    #          · prod(diag U) · prod(Rs)
+    sign = _perm_parity(S.a_perm_rows) * _perm_parity(S.a_perm_cols)
+    for level_pivs in num.pivs:
+        for pv in level_pivs:
+            for row in np.asarray(pv):
+                sign *= _perm_parity(row)
     for s in range(ss.nsuper):
         ms, ns = ss.panel_shape(s)
         Np, Mp = int(ss.panel_Np[s]), int(ss.panel_Mp[s])
@@ -827,8 +859,7 @@ def umf_determinant(num: UmfNumeric) -> tuple[float, float]:
         d = np.diag(panel[:ns, :ns])
         sign *= np.prod(np.sign(d))
         logdet += np.sum(np.log(np.abs(d)))
-    # account for row scaling and permutation signs (sign of perms omitted:
-    # report magnitude like a common use; documented deviation)
+    # row scaling: A = diag(Rs) · Asc, so det(A) = det(Asc) · prod(Rs)
     logdet += np.sum(np.log(num.Rs))
     e = np.floor(logdet / np.log(10.0))
     m = sign * np.exp(logdet - e * np.log(10.0))

@@ -82,53 +82,242 @@ def load_factor(path):
 
 # -- supernodal factors ------------------------------------------------------
 
-def save_super_factor(path, f) -> None:
-    """Checkpoint (perm, supernode partition, panel shards) — SURVEY.md §5."""
-    ss = f.plan.ss
-    _pack("super_factor",
-          dict(n=ss.n, nsuper=ss.nsuper, minor=int(f.minor),
-               dtype=np.dtype(f.dtype).name, total=int(ss.total)),
-          dict(Lx=np.asarray(f.Lx), perm=f.perm, super=ss.super,
-               col_to_super=ss.col_to_super, sn_rowptr=ss.sn_rowptr,
-               sn_rows=ss.sn_rows,
-               sn_parent=ss.sn_parent,
-               level_sizes=np.array([len(l) for l in ss.levels]),
-               levels_flat=np.concatenate(ss.levels) if ss.levels
-               else np.empty(0, np.int64),
-               a_dst=ss.a_scatter_dst, a_src=ss.a_scatter_src), path)
+def _ss_pack(ss, arrays: dict, prefix: str = "") -> dict:
+    """Flatten a SuperSymbolic into `arrays` (under `prefix`); returns the
+    meta dict needed to rebuild it with `_ss_load`."""
+    arrays.update({
+        prefix + "super": ss.super,
+        prefix + "col_to_super": ss.col_to_super,
+        prefix + "sn_rowptr": ss.sn_rowptr,
+        prefix + "sn_rows": ss.sn_rows,
+        prefix + "sn_parent": ss.sn_parent,
+        prefix + "level_sizes": np.array([len(l) for l in ss.levels]),
+        prefix + "levels_flat": (np.concatenate(ss.levels) if ss.levels
+                                 else np.empty(0, np.int64)),
+        prefix + "a_dst": ss.a_scatter_dst,
+        prefix + "a_src": ss.a_scatter_src,
+    })
+    return dict(n=ss.n, nsuper=ss.nsuper, total=int(ss.total))
 
 
-def load_super_factor(path):
-    import jax.numpy as jnp
+def _ss_load(meta: dict, arr: dict, prefix: str = ""):
+    """Rebuild a SuperSymbolic + NumericPlan from `_ss_pack` output.
+    Layout assignment is deterministic given (levels, shapes), so only the
+    structural arrays are stored (umfpack_load_symbolic.c spirit: the blob
+    holds structure, derived tables are recomputed)."""
     from ..cholesky.supernodal import SuperSymbolic, _assign_layout
-    from ..cholesky.super_numeric import SuperFactor, build_plan
-    meta, arr = _unpack(path, "super_factor")
-    sizes = arr["level_sizes"]
-    flat = arr["levels_flat"]
+    from ..cholesky.super_numeric import build_plan
+    sizes = arr[prefix + "level_sizes"]
+    flat = arr[prefix + "levels_flat"]
     levels, k = [], 0
     for s in sizes:
         levels.append(flat[k:k + int(s)])
         k += int(s)
     nsuper = meta["nsuper"]
-    shapes = [(int(arr["sn_rowptr"][s + 1] - arr["sn_rowptr"][s]),
-               int(arr["super"][s + 1] - arr["super"][s]))
-              for s in range(nsuper)]
-    # layout assignment is deterministic given (levels, shapes)
+    sn_rowptr = arr[prefix + "sn_rowptr"]
+    super_ = arr[prefix + "super"]
+    shapes = [(int(sn_rowptr[s + 1] - sn_rowptr[s]),
+               int(super_[s + 1] - super_[s])) for s in range(nsuper)]
     panel_off, panel_Np, panel_Mp, total, level_buckets, wave_w = \
         _assign_layout(levels, shapes)
     assert total == meta["total"], "layout mismatch on load"
-    ss = SuperSymbolic(n=meta["n"], nsuper=nsuper, super=arr["super"],
-                       col_to_super=arr["col_to_super"],
-                       sn_rowptr=arr["sn_rowptr"], sn_rows=arr["sn_rows"],
+    ss = SuperSymbolic(n=meta["n"], nsuper=nsuper, super=super_,
+                       col_to_super=arr[prefix + "col_to_super"],
+                       sn_rowptr=sn_rowptr, sn_rows=arr[prefix + "sn_rows"],
                        panel_off=panel_off, panel_Np=panel_Np,
                        panel_Mp=panel_Mp, total=total,
-                       sn_parent=arr["sn_parent"], levels=levels,
+                       sn_parent=arr[prefix + "sn_parent"], levels=levels,
                        level_buckets=level_buckets,
-                       lnz_dense=total, a_scatter_dst=arr["a_dst"],
-                       a_scatter_src=arr["a_src"], wave_w=wave_w)
-    plan = build_plan(ss)
+                       lnz_dense=total, a_scatter_dst=arr[prefix + "a_dst"],
+                       a_scatter_src=arr[prefix + "a_src"], wave_w=wave_w)
+    return ss, build_plan(ss)
+
+
+def save_super_factor(path, f) -> None:
+    """Checkpoint (perm, supernode partition, panel shards) — SURVEY.md §5."""
+    ss = f.plan.ss
+    arrays = dict(Lx=np.asarray(f.Lx), perm=f.perm)
+    meta = _ss_pack(ss, arrays)
+    meta.update(minor=int(f.minor), dtype=np.dtype(f.dtype).name)
+    _pack("super_factor", meta, arrays, path)
+
+
+def load_super_factor(path):
+    import jax.numpy as jnp
+    from ..cholesky.super_numeric import SuperFactor
+    meta, arr = _unpack(path, "super_factor")
+    ss, plan = _ss_load(meta, arr)
     return SuperFactor(plan=plan, Lx=jnp.asarray(arr["Lx"]), perm=arr["perm"],
                        minor=meta["minor"], dtype=np.dtype(meta["dtype"]))
+
+
+# -- UMFPACK symbolic / numeric ----------------------------------------------
+# (umfpack_save_symbolic.c / umfpack_save_numeric.c:33,61: versioned opaque
+# blob; load reconstructs a standalone object usable for numeric/solve.)
+
+def _csc_pack(A: SparseCSC, arrays: dict, prefix: str) -> dict:
+    arrays[prefix + "indptr"] = np.asarray(A.indptr)
+    arrays[prefix + "indices"] = np.asarray(A.indices)
+    if A.data is not None:
+        arrays[prefix + "data"] = np.asarray(A.data)
+    return dict(shape=list(A.shape), stype=int(A.stype),
+                has_values=A.data is not None)
+
+
+def _csc_load(meta: dict, arr: dict, prefix: str) -> SparseCSC:
+    return SparseCSC(arr[prefix + "indptr"], arr[prefix + "indices"],
+                     arr.get(prefix + "data"), tuple(meta["shape"]),
+                     stype=meta["stype"])
+
+
+def _umf_sym_pack(S, arrays: dict, prefix: str) -> dict:
+    meta = dict(n=S.n, strategy=S.strategy, sym_ratio=float(S.sym_ratio),
+                nzdiag=int(S.nzdiag))
+    if S.singles is not None:
+        sg = S.singles
+        arrays[prefix + "p"] = sg.p
+        arrays[prefix + "q"] = sg.q
+        arrays[prefix + "r"] = sg.r
+        subs = []
+        for k, sub in enumerate(sg.subs):
+            if sub is None:
+                subs.append(None)
+            else:
+                ssub, Ablk = sub
+                subs.append(dict(
+                    sym=_umf_sym_pack(ssub, arrays, f"{prefix}s{k}_"),
+                    A=_csc_pack(Ablk, arrays, f"{prefix}A{k}_")))
+        meta["subs"] = subs
+        return meta
+    for name in ("rowmatch", "a_scatter_L", "a_scatter_U",
+                 "a_perm_rows", "a_perm_cols"):
+        arrays[prefix + name] = getattr(S, name)
+    for name in ("perm", "parent", "post", "colcount"):
+        arrays[prefix + "sym_" + name] = getattr(S.sym, name)
+    meta["sym"] = dict(n=S.sym.n, lnz=int(S.sym.lnz),
+                       flops=float(S.sym.flops), anz=int(S.sym.anz),
+                       method=S.sym.method, is_super=bool(S.sym.is_super))
+    meta["ss"] = _ss_pack(S.ss, arrays, prefix + "ss_")
+    return meta
+
+
+def _umf_sym_load(meta: dict, arr: dict, prefix: str):
+    from ..cholesky.symbolic import Symbolic
+    from ..lu.multifrontal import UmfSingletons, UmfSymbolic
+    if "subs" in meta:
+        subs = []
+        for k, sm in enumerate(meta["subs"]):
+            if sm is None:
+                subs.append(None)
+            else:
+                subs.append((_umf_sym_load(sm["sym"], arr, f"{prefix}s{k}_"),
+                             _csc_load(sm["A"], arr, f"{prefix}A{k}_")))
+        return UmfSymbolic(
+            n=meta["n"], strategy=meta["strategy"], rowmatch=None, sym=None,
+            ss=None, plan=None, a_scatter_L=None, a_scatter_U=None,
+            a_perm_rows=arr[prefix + "p"], a_perm_cols=arr[prefix + "q"],
+            sym_ratio=meta["sym_ratio"], nzdiag=meta["nzdiag"],
+            singles=UmfSingletons(p=arr[prefix + "p"], q=arr[prefix + "q"],
+                                  r=arr[prefix + "r"], subs=subs))
+    ss, plan = _ss_load(meta["ss"], arr, prefix + "ss_")
+    sm = meta["sym"]
+    sym = Symbolic(n=sm["n"], perm=arr[prefix + "sym_perm"],
+                   parent=arr[prefix + "sym_parent"],
+                   post=arr[prefix + "sym_post"],
+                   colcount=arr[prefix + "sym_colcount"], lnz=sm["lnz"],
+                   flops=sm["flops"], anz=sm["anz"], method=sm["method"],
+                   is_super=sm["is_super"], supernodes=ss)
+    return UmfSymbolic(n=meta["n"], strategy=meta["strategy"],
+                       rowmatch=arr[prefix + "rowmatch"], sym=sym, ss=ss,
+                       plan=plan, a_scatter_L=arr[prefix + "a_scatter_L"],
+                       a_scatter_U=arr[prefix + "a_scatter_U"],
+                       a_perm_rows=arr[prefix + "a_perm_rows"],
+                       a_perm_cols=arr[prefix + "a_perm_cols"],
+                       sym_ratio=meta["sym_ratio"], nzdiag=meta["nzdiag"])
+
+
+def save_umf_symbolic(path, S) -> None:
+    """umfpack_save_symbolic analog (reusable across numeric calls)."""
+    arrays: dict[str, Any] = {}
+    meta = _umf_sym_pack(S, arrays, "")
+    _pack("umf_symbolic", meta, arrays, path)
+
+
+def load_umf_symbolic(path):
+    meta, arr = _unpack(path, "umf_symbolic")
+    return _umf_sym_load(meta, arr, "")
+
+
+def _umf_num_pack(num, arrays: dict, prefix: str) -> dict:
+    meta = dict(dtype=np.dtype(num.dtype).name, singular=bool(num.singular))
+    arrays[prefix + "Rs"] = np.asarray(num.Rs)
+    if num.bnums is not None:
+        meta["spq"] = _csc_pack(SparseCSC.from_scipy(num.Spq_csc.tocsc()),
+                                arrays, prefix + "spq_")
+        blocks = []
+        for k, bn in enumerate(num.bnums):
+            if bn is None:
+                blocks.append(None)
+            else:
+                # inner symbolic comes from S.singles.subs[k] on load
+                blocks.append(dict(
+                    num=_umf_num_pack(bn, arrays, f"{prefix}n{k}_"),
+                    A=_csc_pack(num.bAs[k], arrays, f"{prefix}nA{k}_")))
+        meta["blocks"] = blocks
+        return meta
+    arrays[prefix + "Lb"] = np.asarray(num.Lb)
+    arrays[prefix + "Ub"] = np.asarray(num.Ub)
+    piv_counts = []
+    for li, lp in enumerate(num.pivs):
+        piv_counts.append(len(lp))
+        for bi, pv in enumerate(lp):
+            arrays[f"{prefix}piv{li}_{bi}"] = np.asarray(pv)
+    meta["piv_counts"] = piv_counts
+    return meta
+
+
+def _umf_num_load(meta: dict, arr: dict, prefix: str, S):
+    import jax.numpy as jnp
+    from ..lu.multifrontal import UmfNumeric
+    Rs = arr[prefix + "Rs"]
+    dtype = np.dtype(meta["dtype"])
+    if "blocks" in meta:
+        spq = _csc_load(meta["spq"], arr, prefix + "spq_").to_scipy().tocsc()
+        bnums, bAs = [], []
+        for k, bm in enumerate(meta["blocks"]):
+            if bm is None:
+                bnums.append(None)
+                bAs.append(None)
+            else:
+                bnums.append(_umf_num_load(bm["num"], arr, f"{prefix}n{k}_",
+                                           S.singles.subs[k][0]))
+                bAs.append(_csc_load(bm["A"], arr, f"{prefix}nA{k}_"))
+        return UmfNumeric(symbolic=S, Lb=None, Ub=None, pivs=None, Rs=Rs,
+                          dtype=dtype, singular=meta["singular"],
+                          bnums=bnums, bAs=bAs, Spq_csc=spq,
+                          Spq_csr=spq.tocsr())
+    pivs = tuple(
+        tuple(jnp.asarray(arr[f"{prefix}piv{li}_{bi}"]) for bi in range(cnt))
+        for li, cnt in enumerate(meta["piv_counts"]))
+    return UmfNumeric(symbolic=S, Lb=jnp.asarray(arr[prefix + "Lb"]),
+                      Ub=jnp.asarray(arr[prefix + "Ub"]), pivs=pivs,
+                      Rs=Rs, dtype=dtype, singular=meta["singular"])
+
+
+def save_umf_numeric(path, num) -> None:
+    """umfpack_save_numeric analog.  The blob embeds the symbolic so the
+    loaded object is standalone for solve (umfpack_di_solve takes Numeric
+    only)."""
+    arrays: dict[str, Any] = {}
+    meta = dict(num=_umf_num_pack(num, arrays, ""),
+                sym=_umf_sym_pack(num.symbolic, arrays, "S_"))
+    _pack("umf_numeric", meta, arrays, path)
+
+
+def load_umf_numeric(path):
+    meta, arr = _unpack(path, "umf_numeric")
+    S = _umf_sym_load(meta["sym"], arr, "S_")
+    return _umf_num_load(meta["num"], arr, "", S)
 
 
 # -- KLU ---------------------------------------------------------------------

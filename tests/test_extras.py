@@ -57,6 +57,57 @@ class TestSerialize:
         b = np.ones(35)
         assert np.allclose(klu_solve(num, b), klu_solve(num2, b))
 
+    def test_umf_numeric_roundtrip(self, tmp_path):
+        """umfpack_save_numeric / load_numeric: loaded object is standalone
+        for solve (umfpack_save_numeric.c:33)."""
+        from suitesparse_tpu.lu import umf_numeric, umf_solve, umf_symbolic
+        from suitesparse_tpu.utils import load_umf_numeric, save_umf_numeric
+        A = generators.random_unsym(60, 0.06, seed=11)
+        num = umf_numeric(A, umf_symbolic(A))
+        save_umf_numeric(tmp_path / "u.npz", num)
+        num2 = load_umf_numeric(tmp_path / "u.npz")
+        b = np.arange(60, dtype=float)
+        for system in ("A", "At"):
+            x1 = umf_solve(num, b, system, A=A)
+            x2 = umf_solve(num2, b, system, A=A)
+            assert np.allclose(x1, x2)
+
+    def test_umf_numeric_roundtrip_btf(self, tmp_path):
+        """Round-trip through the BTF/singleton recursion."""
+        import scipy.sparse as sp
+        from suitesparse_tpu.lu import umf_numeric, umf_solve, umf_symbolic
+        from suitesparse_tpu.utils import load_umf_numeric, save_umf_numeric
+        rng = np.random.default_rng(5)
+        n1, n2 = 9, 14
+        M = sp.lil_matrix((n1 + n2, n1 + n2))
+        M[:n1, :n1] = rng.standard_normal((n1, n1)) + 4 * np.eye(n1)
+        M[n1:, n1:] = rng.standard_normal((n2, n2)) + 4 * np.eye(n2)
+        M[2, n1 + 3] = 1.0
+        A = SparseCSC.from_scipy(M.tocsc())
+        num = umf_numeric(A, umf_symbolic(A))
+        assert num.bnums is not None
+        save_umf_numeric(tmp_path / "ub.npz", num)
+        num2 = load_umf_numeric(tmp_path / "ub.npz")
+        b = np.ones(n1 + n2)
+        assert np.allclose(umf_solve(num, b, A=A), umf_solve(num2, b, A=A))
+
+    def test_umf_symbolic_roundtrip(self, tmp_path):
+        """umfpack_save_symbolic: loaded symbolic accepts a fresh numeric
+        factorization (new values, same pattern)."""
+        from suitesparse_tpu.lu import umf_numeric, umf_solve, umf_symbolic
+        from suitesparse_tpu.utils import (load_umf_symbolic,
+                                           save_umf_symbolic)
+        A = generators.random_unsym(50, 0.07, seed=13)
+        S = umf_symbolic(A)
+        save_umf_symbolic(tmp_path / "s.npz", S)
+        S2 = load_umf_symbolic(tmp_path / "s.npz")
+        A2 = SparseCSC(A.indptr, A.indices, A.data * 2.5, A.shape)
+        num = umf_numeric(A2, S2)
+        b = np.ones(50)
+        x = umf_solve(num, b, A=A2)
+        from suitesparse_tpu.cholesky import residual_norm
+        assert residual_norm(A2, x, b) < 1e-10
+
     def test_wrong_kind_rejected(self, tmp_path):
         from suitesparse_tpu.core.status import SparseError
         A = generators.random_spd(10, 0.3, seed=4)

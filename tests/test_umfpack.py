@@ -92,6 +92,44 @@ class TestUmf:
         _, ld = np.linalg.slogdet(A.to_scipy().toarray())
         assert np.log10(abs(m)) + e == pytest.approx(ld / np.log(10), abs=1e-6)
 
+    def test_determinant_sign_exact(self):
+        """Sign (permutation parity) must match the dense determinant —
+        umfpack_get_determinant.c semantics, across seeds and strategies."""
+        for seed in range(5):
+            A = generators.random_unsym(40, 0.12, seed=100 + seed)
+            sgn_ref, ld = np.linalg.slogdet(A.to_scipy().toarray())
+            for strategy in ("auto", "unsymmetric", "symmetric"):
+                cm = default_common()
+                cm.lu.strategy = strategy
+                num = umf_numeric(A, umf_symbolic(A, cm), cm)
+                m, e = umf_determinant(num)
+                assert np.sign(m) == sgn_ref, (seed, strategy)
+                assert np.log(abs(m)) + e * np.log(10) == \
+                    pytest.approx(ld, abs=1e-6)
+
+    def test_determinant_sign_btf_path(self):
+        """Sign exactness through the BTF/singleton recursion."""
+        rng = np.random.default_rng(3)
+        for seed in range(4):
+            rng = np.random.default_rng(seed)
+            # block-triangularizable matrix: 2 dense-ish diagonal blocks +
+            # one-way coupling so BTF finds >1 block
+            n1, n2 = 13, 17
+            B1 = rng.standard_normal((n1, n1)) + 5 * np.eye(n1)
+            B2 = rng.standard_normal((n2, n2)) + 5 * np.eye(n2)
+            M = sp.lil_matrix((n1 + n2, n1 + n2))
+            M[:n1, :n1] = B1
+            M[n1:, n1:] = B2
+            M[:n1, n1:] = rng.standard_normal((n1, n2)) * \
+                (rng.random((n1, n2)) < 0.1)
+            A = SparseCSC.from_scipy(M.tocsc())
+            num = umf_numeric(A, umf_symbolic(A))
+            assert num.bnums is not None, "BTF path not taken"
+            m, e = umf_determinant(num)
+            ref = np.linalg.det(M.toarray())
+            assert np.sign(m) == np.sign(ref), seed
+            assert abs(m * 10.0**e - ref) / abs(ref) < 1e-8
+
     def test_singular_flagged(self):
         S = sp.identity(10).tolil()
         S[4, 4] = 0.0
