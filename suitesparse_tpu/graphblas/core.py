@@ -228,95 +228,101 @@ def _to_cscish(A) -> SparseCSC:
     return A.to_csc() if isinstance(A, GrBMatrix) else A
 
 
+def _dense_reduce(monoid_name):
+    return {"plus": jnp.sum, "min": jnp.min, "max": jnp.max,
+            "times": jnp.prod}.get(monoid_name, jnp.sum)
+
+
+def _dense_mxm(A, B, ring, mask, desc):
+    """Format-driven dense path: both operands bitmap/full -> the product
+    is one device program on the MXU (plus_times) or a chunked VPU
+    reduce (general semirings); result is a bitmap Storage.  The analog of
+    the reference's GB_AxB_saxpy4/dot2 dense-accumulator kernels, selected
+    by storage format (GB_matrix.h:10-50 dispatch)."""
+    from .objects import BITMAP, BY_ROW, Storage
+    m, k = A.shape
+    k2, n = B.shape
+    Ad = jnp.asarray(A.dense)
+    Bd = jnp.asarray(B.dense)
+    Am = jnp.asarray(A.mask) if A.fmt == BITMAP else jnp.ones((m, k), bool)
+    Bm = jnp.asarray(B.mask) if B.fmt == BITMAP else jnp.ones((k2, n), bool)
+    if ring.name == "plus_times":
+        C = jnp.where(Am, Ad, 0.0) @ jnp.where(Bm, Bd, 0.0)
+        present = (Am.astype(jnp.float32) @ Bm.astype(jnp.float32)) > 0
+    else:
+        red = _dense_reduce(ring.add.name)
+        ident = ring.add.identity
+
+        def row_block(args):
+            a, am = args                      # (c, k), (c, k)
+            T = ring.mult(a[:, :, None], Bd[None, :, :])
+            P = am[:, :, None] & Bm[None, :, :]
+            return red(jnp.where(P, T, ident), axis=1), P.any(axis=1)
+
+        chunk = 64
+        mp = -(-m // chunk) * chunk
+        Ap = jnp.zeros((mp, k), Ad.dtype).at[:m].set(Ad)
+        Amp = jnp.zeros((mp, k), bool).at[:m].set(Am)
+        C, present = jax.lax.map(
+            row_block, (Ap.reshape(-1, chunk, k), Amp.reshape(-1, chunk, k)))
+        C = C.reshape(mp, n)[:m]
+        present = present.reshape(mp, n)[:m]
+    if mask is not None:
+        md = jnp.asarray(np.asarray(mask.to_scipy().toarray()) != 0) \
+            if isinstance(mask, SparseCSC) else jnp.asarray(np.asarray(mask))
+        if getattr(desc, "mask_complement", False):
+            md = ~md
+        present = present & md
+    return Storage(fmt=BITMAP, orientation=BY_ROW, shape=(m, n),
+                   dense=np.asarray(C), mask=np.asarray(present))
+
+
 def mxm(A, B, ring: Union[str, Semiring] = "plus_times",
         mask: Optional[SparseCSC] = None,
         accum: Optional[str] = None, C0: Optional[SparseCSC] = None,
         desc=None):
     """C = A ⊕.⊗ B (GrB_mxm).
 
-    plus_times runs as host Gustavson (scipy) — the reference's saxpy3
-    default; other semirings run the dot-product family on device over the
-    *structural* product pattern (computed once on host), the analog of the
-    reference's dot2/dot3 with a pattern mask (GB_AxB_meta.c policy).
+    Sparse x sparse runs the device Gustavson program (ops/spgemm.py:
+    per-pattern expansion plan + one fused gather/⊗/sorted-segment-⊕
+    device kernel — the TPU re-design of GB_AxB_saxpy3.c:176-292) for
+    EVERY catalog semiring; masks restrict the expansion at plan time
+    (dot3 analog, GB_AxB_dot3.c).  bitmap/full x bitmap/full dispatches
+    to the dense MXU path and returns a bitmap Storage.
     desc.transpose0/1 transpose the inputs (GrB_DESC_T0/T1);
     desc.mask_complement complements the mask pattern; accum folds into C0.
     """
-    from .objects import Descriptor
+    from .objects import Descriptor, Storage, BITMAP, FULL
     desc = desc or Descriptor()
     ring = semiring(ring) if isinstance(ring, str) else ring
+    if (isinstance(A, Storage) and A.fmt in (BITMAP, FULL)
+            and isinstance(B, Storage) and B.fmt in (BITMAP, FULL)
+            and not desc.transpose0 and not desc.transpose1
+            and accum is None):
+        return _dense_mxm(A, B, ring, mask, desc)
     Ac = _to_cscish(A)
     Bc = _to_cscish(B)
     if desc.transpose0:
         Ac = Ac.transpose()
     if desc.transpose1:
         Bc = Bc.transpose()
-    if mask is not None and desc.mask_complement:
-        import scipy.sparse as sp
-        dense_present = np.ones((Ac.shape[0], Bc.shape[1]), dtype=bool)
-        r, c = mask.to_scipy().nonzero()
-        dense_present[r, c] = False
-        mask = SparseCSC.from_scipy(sp.csc_matrix(dense_present))
     if accum is not None and C0 is not None:
         C = mxm(Ac, Bc, ring, mask=mask,
                 desc=dataclasses.replace(desc, transpose0=False,
-                                         transpose1=False,
-                                         mask_complement=False))
+                                         transpose1=False))
         return ewise_add(C0, C, op=accum)
-    if ring.name == "plus_times" and mask is None:
-        import scipy.sparse as sp
-        C = (Ac.to_scipy() @ Bc.to_scipy()).tocsc()
-        C.sort_indices()
-        return SparseCSC(C.indptr.astype(INDEX), C.indices.astype(INDEX),
-                         C.data, C.shape)
-    # general semiring: pattern = structural product (or the mask), values
-    # by batched sparse dot products on device
-    import scipy.sparse as sp
-    SA = Ac.to_scipy().tocsr()
-    SB = Bc.to_scipy().tocsc()
-    patt = mask.to_scipy() if mask is not None else \
-        ((abs(SA) @ abs(SB)) != 0)
-    patt = sp.csc_matrix(patt)
-    rows, cols = patt.nonzero()
-    if len(rows) == 0:
+    from ..ops.spgemm import cached_plan, spgemm_apply
+    plan = cached_plan(Ac, Bc, mask=mask,
+                       complement=bool(mask is not None
+                                       and desc.mask_complement))
+    if plan.nnz == 0:
         from ..core.sparse import spzeros
         return spzeros(Ac.shape[0], Bc.shape[1])
-    # for each output (i, j): reduce ⊗ over k in struct(A[i,:]) ∩ struct(B[:,j])
-    out = np.empty(len(rows))
-    An = SA.toarray() if max(Ac.shape) <= 2048 else None
-    if An is not None:
-        Bn = SB.toarray()
-        Ad = jnp.asarray(An)
-        Bd = jnp.asarray(Bn)
-        maskA = jnp.asarray(An != 0)
-        maskB = jnp.asarray(Bn != 0)
-        ri = jnp.asarray(rows)
-        ci = jnp.asarray(cols)
-
-        def dot(i, j):
-            both = maskA[i, :] & maskB[:, j]
-            t = ring.mult(Ad[i, :], Bd[:, j])
-            t = jnp.where(both, t, ring.add.identity)
-            red = {"plus": jnp.sum, "min": jnp.min, "max": jnp.max,
-                   "times": jnp.prod}.get(ring.add.name, jnp.sum)
-            return red(t)
-
-        out = np.asarray(jax.vmap(dot)(ri, ci))
-    else:
-        for t, (i, j) in enumerate(zip(rows, cols)):
-            ka = SA.indices[SA.indptr[i]:SA.indptr[i + 1]]
-            av = SA.data[SA.indptr[i]:SA.indptr[i + 1]]
-            kb = SB.indices[SB.indptr[j]:SB.indptr[j + 1]]
-            bv = SB.data[SB.indptr[j]:SB.indptr[j + 1]]
-            common, ia, ib = np.intersect1d(ka, kb, return_indices=True)
-            if not len(common):
-                out[t] = ring.add.identity
-                continue
-            vals = np.asarray(ring.mult(jnp.asarray(av[ia]), jnp.asarray(bv[ib])))
-            red = {"plus": np.sum, "min": np.min, "max": np.max,
-                   "times": np.prod}.get(ring.add.name, np.sum)
-            out[t] = red(vals)
-    return Triplet(rows.astype(INDEX), cols.astype(INDEX), out,
-                   (Ac.shape[0], Bc.shape[1])).to_csc()
+    av = Ac.data if Ac.data is not None else np.ones(Ac.nnz)
+    bv = Bc.data if Bc.data is not None else np.ones(Bc.nnz)
+    vals = np.asarray(spgemm_apply(plan, av, bv, ring))
+    return Triplet(plan.out_rows, plan.out_cols, vals,
+                   plan.shape).to_csc()
 
 
 def _apply_mask_mat(C: SparseCSC, mask, desc) -> SparseCSC:
@@ -336,8 +342,46 @@ def _apply_mask_mat(C: SparseCSC, mask, desc) -> SparseCSC:
     return SparseCSC.from_scipy(sp.csc_matrix(keep))
 
 
+def _both_dense(A, B):
+    from .objects import Storage, BITMAP, FULL
+    return (isinstance(A, Storage) and A.fmt in (BITMAP, FULL)
+            and isinstance(B, Storage) and B.fmt in (BITMAP, FULL))
+
+
+def _dense_ewise(A, B, op: str, mode: str, mask, desc):
+    """Format-driven dense eWise: bitmap/full operands combine as one
+    device elementwise program (VPU), result bitmap.  GB_emult/GB_add
+    bitmap-case analog (GB_emult_bitmap.c / GB_add template)."""
+    from .objects import BITMAP, BY_ROW, Storage
+    m, n = A.shape
+    fn = BINOPS[op]
+    Ad = jnp.asarray(A.dense)
+    Bd = jnp.asarray(B.dense)
+    Am = jnp.asarray(A.mask) if A.fmt == BITMAP else jnp.ones((m, n), bool)
+    Bm = jnp.asarray(B.mask) if B.fmt == BITMAP else jnp.ones((m, n), bool)
+    both = Am & Bm
+    if mode == "mult":
+        P = both
+        C = jnp.where(P, fn(Ad, Bd), 0.0)
+    else:
+        C = jnp.where(both, fn(Ad, Bd),
+                      jnp.where(Am, Ad, jnp.where(Bm, Bd, 0.0)))
+        P = Am | Bm
+    if mask is not None:
+        md = jnp.asarray(np.asarray(mask.to_scipy().toarray()) != 0) \
+            if isinstance(mask, SparseCSC) else jnp.asarray(np.asarray(mask))
+        if desc is not None and getattr(desc, "mask_complement", False):
+            md = ~md
+        P = P & md
+    return Storage(fmt=BITMAP, orientation=BY_ROW, shape=(m, n),
+                   dense=np.asarray(C), mask=np.asarray(P))
+
+
 def ewise_add(A, B, op: str = "plus", mask=None, desc=None) -> SparseCSC:
-    """GrB_eWiseAdd: set-union combine (+ optional output mask)."""
+    """GrB_eWiseAdd: set-union combine (+ optional output mask).
+    bitmap/full operands run the dense device path (bitmap result)."""
+    if _both_dense(A, B):
+        return _dense_ewise(A, B, op, "add", mask, desc)
     Ac = _to_cscish(A)
     Bc = _to_cscish(B)
     fn = BINOPS[op]
@@ -360,7 +404,10 @@ def ewise_add(A, B, op: str = "plus", mask=None, desc=None) -> SparseCSC:
 
 
 def ewise_mult(A, B, op: str = "times", mask=None, desc=None) -> SparseCSC:
-    """GrB_eWiseMult: set-intersection combine (+ optional output mask)."""
+    """GrB_eWiseMult: set-intersection combine (+ optional output mask).
+    bitmap/full operands run the dense device path (bitmap result)."""
+    if _both_dense(A, B):
+        return _dense_ewise(A, B, op, "mult", mask, desc)
     Ac = _to_cscish(A)
     Bc = _to_cscish(B)
     fn = BINOPS[op]
