@@ -114,7 +114,68 @@ def klu_analyze(A: SparseCSC, common: Optional[Common] = None) -> KLUSymbolic:
                        nblocks=len(r) - 1, nmatch=nmatch, ordering=ordering)
 
 
+def _gp_lu_block_native(Bp, Bi, Bx, nb, tol, halt_if_singular):
+    """Native C++ first-factor kernel (native/src/klu.cc) — the klu_kernel.c
+    speed class.  Returns None when the native library is unavailable (the
+    Python twin below is the fallback)."""
+    import ctypes
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sstpu_klu_factor"):
+        return None
+    dtype = np.result_type(Bx.dtype if hasattr(Bx, "dtype") else np.float64,
+                           np.float64)
+    is_c = np.issubdtype(dtype, np.complexfloating)
+    dtype = np.complex128 if is_c else np.float64
+    Bp64 = np.ascontiguousarray(Bp, dtype=np.int64)
+    Bi64 = np.ascontiguousarray(Bi, dtype=np.int64)
+    Bxc = np.ascontiguousarray(Bx, dtype=dtype)
+    lnz = ctypes.c_int64()
+    unz = ctypes.c_int64()
+    sing = ctypes.c_int64()
+    halted = ctypes.c_int64()
+    flops = ctypes.c_double()
+    umin = ctypes.c_double()
+    umax = ctypes.c_double()
+    h = lib.sstpu_klu_factor(
+        nb, Bp64, Bi64, Bxc.ctypes.data_as(ctypes.c_void_p), float(tol),
+        int(bool(halt_if_singular)), int(is_c),
+        ctypes.byref(lnz), ctypes.byref(unz), ctypes.byref(sing),
+        ctypes.byref(halted), ctypes.byref(flops), ctypes.byref(umin),
+        ctypes.byref(umax))
+    try:
+        if halted.value:
+            return (None, None, int(sing.value), flops.value, 0.0, 0.0)
+        Lp = np.empty(nb + 1, dtype=np.int64)
+        Li = np.empty(lnz.value, dtype=np.int64)
+        Lx = np.empty(lnz.value, dtype=dtype)
+        Up = np.empty(nb + 1, dtype=np.int64)
+        Ui = np.empty(unz.value, dtype=np.int64)
+        Ux = np.empty(unz.value, dtype=dtype)
+        prow = np.empty(nb, dtype=np.int64)
+        lib.sstpu_klu_extract(h, Lp, Li, Lx.ctypes.data_as(ctypes.c_void_p),
+                              Up, Ui, Ux.ctypes.data_as(ctypes.c_void_p),
+                              prow)
+    finally:
+        lib.sstpu_klu_free(h)
+    pinv = np.full(nb, -1, dtype=INDEX)
+    pinv[prow] = np.arange(nb, dtype=INDEX)
+    blk = _BlockLU(n=nb, Lp=Lp.astype(INDEX), Li=Li.astype(INDEX), Lx=Lx,
+                   Up=Up.astype(INDEX), Ui=Ui.astype(INDEX), Ux=Ux,
+                   pivot_rows=prow.astype(INDEX))
+    return (blk, pinv, int(sing.value), flops.value, umin.value, umax.value)
+
+
 def _gp_lu_block(Bp, Bi, Bx, nb, tol, halt_if_singular):
+    """Gilbert-Peierls block LU: native C++ kernel when available
+    (native/src/klu.cc), Python twin otherwise."""
+    native = _gp_lu_block_native(Bp, Bi, Bx, nb, tol, halt_if_singular)
+    if native is not None:
+        return native
+    return _gp_lu_block_py(Bp, Bi, Bx, nb, tol, halt_if_singular)
+
+
+def _gp_lu_block_py(Bp, Bi, Bx, nb, tol, halt_if_singular):
     """Gilbert-Peierls left-looking LU with partial pivoting + diagonal
     preference on one diagonal block (klu_kernel.c behavior).
 
@@ -278,12 +339,13 @@ def _row_scale(A: SparseCSC, mode: str) -> np.ndarray:
     if mode == "none":
         return np.ones(A.nrow)
     S = A.to_scipy().tocsr()
-    if mode == "max":
-        Rs = np.array([np.abs(S.data[S.indptr[i]:S.indptr[i + 1]]).max(initial=0.0)
-                       for i in range(A.nrow)])
-    else:  # "sum"
-        Rs = np.array([np.abs(S.data[S.indptr[i]:S.indptr[i + 1]]).sum()
-                       for i in range(A.nrow)])
+    absd = np.abs(S.data)
+    nonempty = np.diff(S.indptr) > 0
+    Rs = np.ones(A.nrow)
+    if len(absd):
+        red = np.maximum.reduceat if mode == "max" else np.add.reduceat
+        starts = S.indptr[:-1][nonempty]
+        Rs[nonempty] = red(absd, starts)
     Rs[Rs == 0.0] = 1.0
     return Rs
 
@@ -330,12 +392,14 @@ def klu_factor(A: SparseCSC, sym: KLUSymbolic,
 
     # global permuted matrix rows in final pivot order for the off-diagonal
     Sp = S[pnum, :]
-    # off-diagonal part (above the diagonal blocks in block coordinates)
-    off = Sp.tolil(copy=True)
-    for b in range(sym.nblocks):
-        lo, hi = int(sym.r[b]), int(sym.r[b + 1])
-        off[lo:hi, lo:hi] = 0
-    offdiag = sp.csc_matrix(off)
+    # off-diagonal part (above the diagonal blocks in block coordinates):
+    # keep entries whose row and column land in different BTF blocks
+    blk_of = np.repeat(np.arange(sym.nblocks, dtype=np.int64),
+                       np.diff(sym.r))
+    coo = Sp.tocoo()
+    keep = blk_of[coo.row] != blk_of[coo.col]
+    offdiag = sp.csc_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=(n, n))
 
     p_final = sym.p[pnum]
     num = KLUNumeric(sym=sym, blocks=blocks, pnum=pnum, Rs=Rs,
@@ -346,6 +410,38 @@ def klu_factor(A: SparseCSC, sym: KLUSymbolic,
                     "klu_umax": umax_all,
                     "klu_factor_time": cm.toc("klu_factor")})
     return num
+
+
+def _klu_refactor_native(blk, Sub, pinv, dtype):
+    """Fixed-pattern value recompute via native/src/klu.cc; returns the
+    block-local singular column (or block size), None if unavailable."""
+    import ctypes
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sstpu_klu_refactor"):
+        return None
+    is_c = np.issubdtype(dtype, np.complexfloating)
+    Bp = np.ascontiguousarray(Sub.indptr, dtype=np.int64)
+    Bi = np.ascontiguousarray(Sub.indices, dtype=np.int64)
+    Bx = np.ascontiguousarray(Sub.data, dtype=np.complex128 if is_c
+                              else np.float64)
+    if blk.Lx.dtype != Bx.dtype:
+        blk.Lx = blk.Lx.astype(Bx.dtype)
+        blk.Ux = blk.Ux.astype(Bx.dtype)
+    Lp = np.ascontiguousarray(blk.Lp, dtype=np.int64)
+    Li = np.ascontiguousarray(blk.Li, dtype=np.int64)
+    Up = np.ascontiguousarray(blk.Up, dtype=np.int64)
+    Ui = np.ascontiguousarray(blk.Ui, dtype=np.int64)
+    Lx = np.ascontiguousarray(blk.Lx)
+    Ux = np.ascontiguousarray(blk.Ux)
+    sing = lib.sstpu_klu_refactor(
+        blk.n, Bp, Bi, Bx.ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(pinv, dtype=np.int64), Lp, Li,
+        Lx.ctypes.data_as(ctypes.c_void_p), Up, Ui,
+        Ux.ctypes.data_as(ctypes.c_void_p), int(is_c))
+    blk.Lx = Lx
+    blk.Ux = Ux
+    return int(sing)
 
 
 def klu_refactor(A: SparseCSC, sym: KLUSymbolic, num: KLUNumeric,
@@ -374,6 +470,11 @@ def klu_refactor(A: SparseCSC, sym: KLUSymbolic, num: KLUNumeric,
         if blk.Lx.dtype != dtype:
             blk.Lx = blk.Lx.astype(dtype)
             blk.Ux = blk.Ux.astype(dtype)
+        sing = _klu_refactor_native(blk, Sub, pinv, dtype)
+        if sing is not None:
+            if sing < nb:
+                singular_col = min(singular_col, lo + sing)
+            continue
         x = np.zeros(nb, dtype=dtype)
         for k in range(nb):
             clo, chi = int(Sub.indptr[k]), int(Sub.indptr[k + 1])
@@ -400,13 +501,14 @@ def klu_refactor(A: SparseCSC, sym: KLUSymbolic, num: KLUNumeric,
             x[lr] = 0.0
             x[blk.Ui[ulo:uhi]] = 0.0
             x[k] = 0.0
-        # rebuild off-diagonal values with new data
+    # rebuild off-diagonal values with new data (vectorized block filter)
     Sp = S[num.pnum, :]
-    off = Sp.tolil(copy=True)
-    for b in range(sym.nblocks):
-        lo, hi = int(sym.r[b]), int(sym.r[b + 1])
-        off[lo:hi, lo:hi] = 0
-    num.offdiag = sp.csc_matrix(off)
+    blk_of = np.repeat(np.arange(sym.nblocks, dtype=np.int64),
+                       np.diff(sym.r))
+    coo = Sp.tocoo()
+    keep = blk_of[coo.row] != blk_of[coo.col]
+    num.offdiag = sp.csc_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=(n, n))
     num.Rs = Rs
     num.singular_col = singular_col
     cm.status = Status.SINGULAR if singular_col < n else Status.OK

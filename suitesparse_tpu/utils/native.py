@@ -68,6 +68,10 @@ def _register_optional(lib):
     """Signatures for entry points that may not exist in older builds."""
     c_i64 = ctypes.c_int64
     p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    c_dbl = ctypes.c_double
+    p_dbl = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    p_dbl1 = ctypes.POINTER(ctypes.c_double)
+    p_i641 = ctypes.POINTER(ctypes.c_int64)
     for name, argtypes, restype in [
         ("sstpu_etree", [c_i64, c_i64, p_i64, p_i64, c_i64, p_i64], None),
         ("sstpu_postorder", [c_i64, p_i64, p_i64], None),
@@ -76,6 +80,17 @@ def _register_optional(lib):
         ("sstpu_colamd", [c_i64, c_i64, p_i64, p_i64, p_i64,
                           ctypes.c_double, ctypes.c_double], c_i64),
         ("sstpu_strongcomp", [c_i64, p_i64, p_i64, p_i64, p_i64], c_i64),
+        ("sstpu_klu_factor",
+         [c_i64, p_i64, p_i64, ctypes.c_void_p, c_dbl, c_i64, c_i64,
+          p_i641, p_i641, p_i641, p_i641, p_dbl1, p_dbl1, p_dbl1],
+         ctypes.c_void_p),
+        ("sstpu_klu_extract",
+         [ctypes.c_void_p, p_i64, p_i64, ctypes.c_void_p, p_i64, p_i64,
+          ctypes.c_void_p, p_i64], None),
+        ("sstpu_klu_free", [ctypes.c_void_p], None),
+        ("sstpu_klu_refactor",
+         [c_i64, p_i64, p_i64, ctypes.c_void_p, p_i64, p_i64, p_i64,
+          ctypes.c_void_p, p_i64, p_i64, ctypes.c_void_p, c_i64], c_i64),
     ]:
         try:
             fn = getattr(lib, name)
