@@ -1,27 +1,53 @@
 """Distributed supernodal elimination over a jax.sharding Mesh.
 
-The TPU-native replacement for the reference's (nonexistent) distributed
-layer (SURVEY.md §2 parallelism table): independent supernodes of one
-elimination-tree level are *data-parallel* across chips (the subtree-to-chip
-proportional mapping); the extend-add assembly is a cross-chip reduction
-(psum of per-chip sparse update contributions — the all-to-all/ICI analog
-of the reference's pinned-buffer GPU assembly, cholmod_gpu_kernels.cu).
+TPU-native distribution of the wave factorization (SURVEY.md §7.6 design;
+reference anchors: the CPU/GPU work split of t_cholmod_super_numeric.c:540-570
+and SPQR's task tree, spqr_analyze.cpp:50-58):
 
-Round-1 scope: a mesh-sharded level step — batched POTRF/TRSM/SYRK with the
-supernode batch sharded over the 'batch' mesh axis and the flat factor
-buffer replicated, updates combined with a psum-style scatter-add.  The 2D
-block-cyclic root-front path is planned (SURVEY.md §7.6).
+1. **Proportional subtree mapping** (host): the supernodal etree is split
+   into >= ndev independent subtrees by repeatedly opening the heaviest
+   subtree; subtrees are LPT-assigned to chips by flop weight.  Supernodes
+   above the subtree roots form the shared *top* phase.
+2. **Owner-contiguous layout**: the flat panel buffer is re-laid-out as
+   ``[chip0 | chip1 | ... | top | trash | scratch]`` — each chip's panels
+   contiguous, so the phase boundary is ONE all_gather.
+3. **Phase 1 — zero communication**: one shard_map program in which every
+   chip scans ITS OWN wave instruction stream (instructions are sharded
+   data; the scan body — a lax.switch over shape classes — is identical
+   SPMD code).  A subtree's extend-adds stay inside the chip's region or
+   land in the top region of its local accumulator.
+4. **Phase boundary — exactly two collectives**: all_gather of the
+   owner-computed panel regions + psum of the top-region contributions.
+5. **Phase 2 — top/separator phase**: the (small) shared top is scanned
+   replicated (zero additional communication); a lone large root front is
+   peeled off and factored with a column-block-cyclic fan-out POTRF inside
+   the SAME jitted program — per-panel psum broadcast, trailing updates
+   split over chips by block column (the in-program form of
+   parallel/block_cyclic.py).
+
+The whole factorization is ONE compiled program: no per-bucket retrace, no
+host round-trips, and per-phase communication volumes are logged in
+``Common.info`` (dist_allgather_bytes / dist_psum_bytes / dist_root_bytes).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Sequence
+import heapq
+from typing import Optional, Sequence
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.sparse import INDEX
+
+try:
+    from jax import shard_map
+except ImportError:               # older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "batch",
@@ -31,35 +57,494 @@ def make_mesh(n_devices: int | None = None, axis: str = "batch",
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+# ---------------------------------------------------------------------------
+# Host planning
+# ---------------------------------------------------------------------------
+
+def _subtree_owners(ss, ndev: int, oversub: int = 4) -> np.ndarray:
+    """Proportional mapping: owner[s] in [0, ndev) for subtree supernodes,
+    -1 for the shared top phase.  Subtrees are etree-closed, so phase-1
+    extend-adds never cross chips."""
+    nsuper = ss.nsuper
+    parent = np.asarray(ss.sn_parent)
+    # per-supernode flop proxy: panel ms^2 * ns (SYRK+POTRF+TRSM class)
+    w = np.empty(nsuper)
+    size = np.ones(nsuper, dtype=np.int64)
+    for s in range(nsuper):
+        ms, ns = ss.panel_shape(s)
+        w[s] = float(ms) * ms * ns + 1.0
+    subw = w.copy()
+    children: list[list[int]] = [[] for _ in range(nsuper)]
+    for s in range(nsuper):        # postordered: parent > child
+        p = int(parent[s])
+        if p >= 0:
+            subw[p] += subw[s]
+            size[p] += size[s]
+            children[p].append(s)
+    heap = [(-subw[s], s) for s in range(nsuper) if parent[s] < 0]
+    heapq.heapify(heap)
+    target = max(ndev * oversub, ndev)
+    stuck: list[tuple[float, int]] = []
+    while heap and (len(heap) + len(stuck)) < target:
+        negw, r = heapq.heappop(heap)
+        if not children[r]:
+            stuck.append((negw, r))   # leaf supernode: cannot split further
+            continue
+        for c in children[r]:         # r itself moves to the top phase
+            heapq.heappush(heap, (-subw[c], c))
+    roots = [s for _, s in heap] + [s for _, s in stuck]
+    # LPT assignment by subtree weight
+    loads = [(0.0, c) for c in range(ndev)]
+    heapq.heapify(loads)
+    owner = np.full(nsuper, -1, dtype=np.int64)
+    for r in sorted(roots, key=lambda s: -subw[s]):
+        load, c = heapq.heappop(loads)
+        owner[r - size[r] + 1: r + 1] = c     # postorder: contiguous subtree
+        heapq.heappush(loads, (load + subw[r], c))
+    return owner
+
+
+def _assign_region(levels, shapes, mine, pad, wave_w, panel_off, panel_Np,
+                   panel_Mp, base0: int):
+    """Owner-contiguous layout for the supernodes in `mine` (bool mask),
+    mirroring supernodal._assign_layout's bucket/wave rounding."""
+    base = base0
+    level_buckets = []
+    for level in levels:
+        groups: dict[tuple[int, int], list[int]] = {}
+        for s in np.asarray(level).tolist():
+            if not mine[s]:
+                continue
+            ms, ns = shapes[s]
+            mb = ms - ns
+            key = (pad(ns), pad(mb) if mb else 0)
+            groups.setdefault(key, []).append(s)
+        buckets = []
+        for (Np, Mb), sids in sorted(groups.items()):
+            bbase = base
+            for s in sids:
+                panel_off[s] = base
+                panel_Np[s] = Np
+                panel_Mp[s] = Np + Mb
+                base += (Np + Mb) * Np
+            W = wave_w[(Np, Mb)]
+            nwave = -(-len(sids) // W)
+            base = bbase + nwave * W * (Np + Mb) * Np
+            buckets.append((Np, Mb, bbase, np.array(sids, dtype=INDEX)))
+        level_buckets.append(buckets)
+    return level_buckets, base
+
+
+@dataclasses.dataclass
+class DistPlan:
+    """Host-side distributed plan: re-laid-out symbolic + wave program
+    pieces partitioned by owner."""
+
+    ss: object                 # SuperSymbolic with the owner-contiguous layout
+    plan: object               # global NumericPlan (solve / reference)
+    wp: object                 # global WavePlan
+    sym: object
+    owner: np.ndarray          # per supernode
+    ndev: int
+    Bloc: int                  # per-chip region length
+    top_base: int
+    Btop: int                  # top-region length
+    buf: int                   # total device buffer (wp.buf + nop scratch)
+    instr_cls: np.ndarray      # (ndev, T1) per-chip phase-1 instructions
+    instr_pos: np.ndarray
+    top_cls: np.ndarray        # (T2,) shared top instructions
+    top_pos: np.ndarray
+    nop_cls: int
+    root: Optional[tuple]      # (base, Np, nb, padeye) for the 2D root
+    comm: dict
+
+
+def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
+                    root_2d_min: int = 256, root_2d_nb: int = 128):
+    """Analyze + subtree mapping + owner-contiguous relayout + wave split.
+    Pure host preprocessing, once per (pattern, ndev)."""
+    import copy
+
+    from ..cholesky import analyze, super_symbolic
+    from ..cholesky.super_numeric import build_plan
+    from ..cholesky.supernodal import (_pad_dim, _pad_dim_coarse, _pick_wave)
+    from ..cholesky.symbolic import _force_upper
+    from ..core.common import default_common
+
+    cm = common or default_common()
+    cm.cholesky.supernodal = "supernodal"
+    sym = analyze(A, cm)
+    ss = super_symbolic(A, sym, cm)
+    owner = _subtree_owners(ss, ndev, oversub)
+
+    # --- owner-contiguous relayout ---------------------------------------
+    pad = (_pad_dim_coarse if cm.cholesky.shape_ladder == "coarse"
+           else _pad_dim)
+    nsuper = ss.nsuper
+    shapes = [ss.panel_shape(s) for s in range(nsuper)]
+    # shared wave sizes per shape class, over per-(owner, level) group sizes
+    class_bs: dict[tuple[int, int], list[int]] = {}
+    for o in list(range(ndev)) + [-1]:
+        for level in ss.levels:
+            groups: dict[tuple[int, int], int] = {}
+            for s in np.asarray(level).tolist():
+                if owner[s] != o:
+                    continue
+                ms, ns = shapes[s]
+                mb = ms - ns
+                key = (pad(ns), pad(mb) if mb else 0)
+                groups[key] = groups.get(key, 0) + 1
+            for key, cnt in groups.items():
+                class_bs.setdefault(key, []).append(cnt)
+    wave_w = {key: _pick_wave(key[0], key[1], bs)
+              for key, bs in class_bs.items()}
+
+    panel_off = np.zeros(nsuper, dtype=INDEX)
+    panel_Np = np.zeros(nsuper, dtype=INDEX)
+    panel_Mp = np.zeros(nsuper, dtype=INDEX)
+    chip_lb = []
+    sizes = []
+    for c in range(ndev):
+        lb, end = _assign_region(ss.levels, shapes, owner == c, pad, wave_w,
+                                 panel_off, panel_Np, panel_Mp, 0)
+        chip_lb.append(lb)
+        sizes.append(end)
+    Bloc = max(sizes) if sizes else 0
+    for c in range(ndev):          # shift chip regions to c * Bloc
+        for s in np.nonzero(owner == c)[0]:
+            panel_off[s] += c * Bloc
+        chip_lb[c] = [[(Np, Mb, b + c * Bloc, sids) for (Np, Mb, b, sids)
+                       in lv] for lv in chip_lb[c]]
+    top_base = ndev * Bloc
+    top_lb, total = _assign_region(ss.levels, shapes, owner == -1, pad,
+                                   wave_w, panel_off, panel_Np, panel_Mp,
+                                   top_base)
+    Btop = total - top_base
+
+    # global bucket schedule: per level, chips then top
+    global_lb = []
+    for li in range(len(ss.levels)):
+        lv = []
+        for c in range(ndev):
+            lv.extend(chip_lb[c][li])
+        lv.extend(top_lb[li])
+        global_lb.append(lv)
+
+    ss2 = dataclasses.replace(ss, panel_off=panel_off, panel_Np=panel_Np,
+                              panel_Mp=panel_Mp, total=int(total),
+                              level_buckets=global_lb, lnz_dense=int(total),
+                              wave_w=wave_w, a_scatter_dst=None)
+    # A-assembly map in the new coordinates (same construction as
+    # super_symbolic's tail)
+    n = ss.n
+    U = _force_upper(A) if A.stype == 0 else (
+        A if A.stype > 0 else A.transpose())
+    PL = U.symperm(sym.perm, values=False).transpose()
+    PL.sort_indices()
+    cols = np.repeat(np.arange(n, dtype=INDEX), np.diff(PL.indptr))
+    rows = PL.indices
+    s_of = ss2.col_to_super[cols]
+    a_dst = np.empty(PL.nnz, dtype=INDEX)
+    rows_list = [ss2.rows_of(s) for s in range(nsuper)]
+    for s in range(nsuper):
+        mask = s_of == s
+        if not mask.any():
+            continue
+        local = np.searchsorted(rows_list[s], rows[mask])
+        a_dst[mask] = ss2.flat_pos(s, local, cols[mask] - int(ss2.super[s]))
+    ss2.a_scatter_dst = a_dst
+    ss2.a_scatter_src = np.arange(PL.nnz, dtype=INDEX)
+
+    plan = build_plan(ss2)
+    wp = plan.wave_plan()
+
+    # --- wave ownership (mirror build_wave_plan's enumeration order) -----
+    wave_owner = []
+    for lv in plan.levels:
+        for b in lv:
+            W = wave_w[(b.Np, b.Mb)]
+            nw = -(-len(b.sids) // W)
+            wave_owner.extend([int(owner[int(b.sids[0])])] * nw)
+    wave_owner = np.asarray(wave_owner)
+    assert len(wave_owner) == len(wp.instr_cls), "wave enumeration mismatch"
+
+    # lone large root front -> peel for the in-program block-cyclic POTRF
+    root = None
+    top_keep = np.ones(len(wp.instr_cls), dtype=bool)
+    last_lv = plan.levels[-1] if plan.levels else []
+    if (ndev > 1 and len(last_lv) == 1 and len(last_lv[0].sids) == 1
+            and last_lv[0].Mb == 0 and last_lv[0].Np >= root_2d_min
+            and wave_w[(last_lv[0].Np, 0)] == 1
+            and owner[int(last_lv[0].sids[0])] == -1):
+        b = last_lv[0]
+        nb = root_2d_nb
+        while b.Np % nb:
+            nb //= 2
+        root = (int(b.base), int(b.Np), int(nb),
+                b.padeye[0].astype(np.float64),
+                b.colmask[0].astype(np.float64))
+        top_keep[len(wp.instr_cls) - 1] = False   # root = last wave
+
+    # nop instruction: append one dead wave to the cheapest class
+    metas = wp.meta
+    nop_cls = int(np.argmin([(Np + Mb) * Np * W
+                             for (Np, Mb, W, *_r) in metas]))
+    scratch = ((metas[nop_cls][0] + metas[nop_cls][1]) * metas[nop_cls][0]
+               * metas[nop_cls][2])
+    buf = wp.buf + scratch
+
+    sel1 = wave_owner >= 0
+    t1 = np.array([int((sel1 & (wave_owner == c)).sum())
+                   for c in range(ndev)])
+    T1 = int(t1.max()) if len(t1) else 0
+    instr_cls = np.full((ndev, max(T1, 1)), nop_cls, dtype=np.int32)
+    # nop pos = appended row index (class stack length)
+    nop_pos = len(wp.classes[nop_cls].base)
+    instr_pos = np.full((ndev, max(T1, 1)), nop_pos, dtype=np.int32)
+    for c in range(ndev):
+        idx = np.nonzero(wave_owner == c)[0]
+        instr_cls[c, :len(idx)] = wp.instr_cls[idx]
+        instr_pos[c, :len(idx)] = wp.instr_pos[idx]
+    topidx = np.nonzero((wave_owner < 0) & top_keep)[0]
+    top_cls = wp.instr_cls[topidx].astype(np.int32)
+    top_pos = wp.instr_pos[topidx].astype(np.int32)
+
+    itemsize = 4
+    comm = dict(
+        dist_allgather_bytes=int(Bloc) * (ndev - 1) * itemsize,
+        dist_psum_bytes=int(Btop) * 2 * (ndev - 1) // max(ndev, 1)
+        * itemsize,
+        dist_root_bytes=(root[1] * root[1] + root[1] * root[2]
+                         * (root[1] // root[2])) * itemsize if root else 0,
+        dist_phase1_waves=int(sel1.sum()),
+        dist_top_waves=int(len(topidx)),
+        dist_ndev=ndev, dist_Bloc=int(Bloc), dist_Btop=int(Btop))
+    cm.info.update(comm)
+    return DistPlan(ss=ss2, plan=plan, wp=wp, sym=sym, owner=owner,
+                    ndev=ndev, Bloc=int(Bloc), top_base=int(top_base),
+                    Btop=int(Btop), buf=int(buf), instr_cls=instr_cls,
+                    instr_pos=instr_pos, top_cls=top_cls, top_pos=top_pos,
+                    nop_cls=nop_cls, root=root, comm=comm)
+
+
+def _nop_extended_ops(dp: DistPlan, dtype):
+    """Class ops with one appended dead wave on the nop class: zero masks,
+    scratch base, all-pad extend-add maps (trash destinations)."""
+    wp = dp.wp
+    ops = wp.arrays(dtype)
+    c = wp.classes[dp.nop_cls]
+    Np, Mb, W, L, K = c.Np, c.Mb, c.W, c.L, c.K
+    trash = dp.plan.total
+    ext = dict(
+        base=jnp.concatenate([jnp.asarray(c.base),
+                              jnp.asarray([wp.buf], dtype=c.base.dtype)]),
+        padeye=jnp.concatenate([jnp.asarray(c.padeye, dtype=dtype),
+                                jnp.ones((1, W, Np), dtype=dtype)]),
+        rowmask=jnp.concatenate([jnp.asarray(c.rowmask, dtype=dtype),
+                                 jnp.zeros((1, W, Np + Mb), dtype=dtype)]),
+        colmask=jnp.concatenate([jnp.asarray(c.colmask, dtype=dtype),
+                                 jnp.zeros((1, W, Np), dtype=dtype)]),
+        src=jnp.concatenate([jnp.asarray(c.src),
+                             jnp.zeros((1, L), dtype=c.src.dtype)]),
+        ids=jnp.concatenate([jnp.asarray(c.ids),
+                             jnp.full((1, L), max(K - 1, 0),
+                                      dtype=c.ids.dtype)]),
+        dst=jnp.concatenate([jnp.asarray(c.dst),
+                             (trash + 1 + jnp.arange(K, dtype=c.dst.dtype)
+                              )[None, :]]))
+    out = list(ops)
+    out[dp.nop_cls] = ext
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# The single jitted distributed program
+# ---------------------------------------------------------------------------
+
+def _root_fanout(Lx, root, ndev, axis, dtype):
+    """Column-block-cyclic fan-out POTRF of the (replicated) root front,
+    inside the program: per-panel psum broadcast; each chip updates only
+    its own block columns; one masked psum merges the factor."""
+    base, Np, nb, padeye, colmask = root
+    K = Np // nb
+    d = jax.lax.axis_index(axis)
+    Pn = jax.lax.dynamic_slice(Lx, (base,), (Np * Np,)).reshape(Np, Np)
+    T = Pn + jnp.tril(Pn, -1).T + jnp.diag(jnp.asarray(padeye, dtype=dtype))
+    rows = np.arange(Np)
+    colown = (np.arange(K) % ndev).astype(np.int32)
+    A = T
+    Lcols = jnp.zeros((Np, Np), dtype=dtype)     # my owned factored columns
+    for k in range(K):                            # unrolled: K is small
+        mine_k = d == colown[k]
+        panel = jnp.where(mine_k, A[:, k * nb:(k + 1) * nb],
+                          jnp.zeros((Np, nb), dtype=dtype))
+        panel = jax.lax.psum(panel, axis)         # broadcast from owner
+        rmask = jnp.asarray((rows >= k * nb), dtype=dtype)
+        panel = panel * rmask[:, None]
+        Akk = panel[k * nb:(k + 1) * nb, :]
+        Lkk = jnp.linalg.cholesky(Akk)
+        Bk = jax.lax.linalg.triangular_solve(
+            Lkk, panel[(k + 1) * nb:, :], left_side=False, lower=True,
+            transpose_a=True)
+        col = jnp.concatenate([jnp.zeros((k * nb, nb), dtype=dtype), Lkk, Bk])
+        Lcols = jnp.where(mine_k,
+                          jax.lax.dynamic_update_slice(Lcols, col,
+                                                       (0, k * nb)),
+                          Lcols)
+        # trailing update restricted to MY block columns > k
+        if k + 1 < K:
+            myc = jnp.asarray(
+                np.repeat(colown[k + 1:], nb)[None, :])   # (1, trail)
+            upd = jnp.einsum("ik,jk->ij", Bk, Bk,
+                             preferred_element_type=dtype)
+            mask = (myc == d).astype(dtype)
+            A = A.at[(k + 1) * nb:, (k + 1) * nb:].add(-upd * mask)
+    L = jax.lax.psum(Lcols, axis)                 # merge owned columns
+    cmk = jnp.asarray(colmask, dtype=dtype)       # zero padded rows/cols in
+    L = L * cmk[:, None] * cmk[None, :]           # storage (branch parity)
+    return jax.lax.dynamic_update_slice(Lx, L.reshape(-1), (base,))
+
+
+def _make_dist_program(dp: DistPlan, mesh: Mesh, dtype):
+    from ..cholesky.wave import _numeric_branch
+    axis = mesh.axis_names[0]
+    ndev = dp.ndev
+    ops = _nop_extended_ops(dp, dtype)
+    meta = dp.wp.meta
+    branches = [
+        (lambda brf, o: (lambda Lx, pos: brf(Lx, pos, o)))(
+            _numeric_branch(Np, Mb, W, L, K, False), o)
+        for o, (Np, Mb, W, L, K, *_r) in zip(ops, meta)]
+    from ..cholesky.super_numeric import _a_sorted_maps
+    a_src, a_dst = _a_sorted_maps(dp.ss)
+    a_src = jnp.asarray(a_src)
+    a_dst = jnp.asarray(a_dst)
+    instr1 = (jnp.asarray(dp.instr_cls), jnp.asarray(dp.instr_pos))
+    instr2 = (jnp.asarray(dp.top_cls), jnp.asarray(dp.top_pos))
+    Bloc, top_base, Btop, buf = dp.Bloc, dp.top_base, dp.Btop, dp.buf
+    root = dp.root
+
+    def scan_waves(Lx, cls, pos):
+        def body(Lx, xs):
+            cid, p = xs
+            return jax.lax.switch(cid, branches, Lx, p), None
+        Lx, _ = jax.lax.scan(body, Lx, (cls, pos))
+        return Lx
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), P(axis), P(axis)), out_specs=P(),
+                       check_vma=False)
+    def program(vals, cls1, pos1):
+        init = jnp.zeros(buf, dtype=dtype)
+        init = init.at[a_dst].set(vals[a_src], indices_are_sorted=True,
+                                  unique_indices=True,
+                                  mode="promise_in_bounds")
+        # phase 1: private subtree scan (zero communication)
+        Lx = scan_waves(init, cls1[0], pos1[0])
+        delta = Lx - init
+        d = jax.lax.axis_index(axis)
+        own = jax.lax.dynamic_slice(delta, (d * Bloc,), (Bloc,)) \
+            if Bloc else jnp.zeros((0,), dtype=dtype)
+        gathered = jax.lax.all_gather(own, axis)          # (ndev, Bloc)
+        topd = jax.lax.dynamic_slice(delta, (top_base,), (Btop,)) \
+            if Btop else jnp.zeros((0,), dtype=dtype)
+        topsum = jax.lax.psum(topd, axis)
+        merged = init
+        if Bloc:
+            merged = jax.lax.dynamic_update_slice(
+                merged, gathered.reshape(-1) + init[:ndev * Bloc], (0,))
+        if Btop:
+            merged = jax.lax.dynamic_update_slice(
+                merged, topsum + init[top_base:top_base + Btop],
+                (top_base,))
+        # phase 2: shared top scan, replicated (no communication)
+        merged = scan_waves(merged, instr2[0], instr2[1])
+        if root is not None:
+            merged = _root_fanout(merged, root, ndev, axis, dtype)
+        return merged
+
+    return jax.jit(program)
+
+
+def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32,
+                          oversub: int = 4, root_2d_min: int = 256,
+                          root_2d_nb: int = 128, dp: DistPlan = None):
+    """Full distributed supernodal factorization (see module docstring).
+
+    Returns (SuperFactor over the owner-contiguous plan, Symbolic); solve
+    via the ordinary solve_super (the merged factor is replicated).  Pass
+    a prebuilt `dp` (build_dist_plan) to reuse the pattern across values.
+    """
+    from ..cholesky.super_numeric import SuperFactor, _assemble_values
+    from ..core.common import default_common
+
+    cm = common or default_common()
+    ndev = int(mesh.devices.size)
+    if dp is None:
+        dp = build_dist_plan(A, ndev, cm, oversub=oversub,
+                             root_2d_min=root_2d_min, root_2d_nb=root_2d_nb)
+    else:
+        cm.info.update(dp.comm)
+    vals = _assemble_values(A, dp.sym, dp.ss, dtype)
+    prog = dp.__dict__.setdefault("_progs", {}).get(np.dtype(dtype).name)
+    if prog is None:
+        prog = _make_dist_program(dp, mesh, dtype)
+        dp._progs[np.dtype(dtype).name] = prog
+    sh_r = NamedSharding(mesh, P())
+    sh_b = NamedSharding(mesh, P("batch" if "batch" in mesh.axis_names
+                                 else mesh.axis_names[0]))
+    cm.tic("dist_factorize")
+    Lx = prog(jax.device_put(jnp.asarray(vals, dtype=dtype), sh_r),
+              jax.device_put(jnp.asarray(dp.instr_cls), sh_b),
+              jax.device_put(jnp.asarray(dp.instr_pos), sh_b))
+    Lx.block_until_ready()
+    t = cm.toc("dist_factorize")
+    cm.info["dist_factor_time"] = t
+    minor = dp.plan.n
+    if bool(jnp.isnan(Lx[:dp.plan.total]).any()):
+        from ..core.status import Status
+        cm.status = Status.NOT_POSDEF
+        h = np.asarray(Lx)
+        ss = dp.ss
+        for s in range(ss.nsuper):
+            o = int(ss.panel_off[s])
+            sz = int(ss.panel_Mp[s]) * int(ss.panel_Np[s])
+            if np.isnan(h[o:o + sz]).any():
+                minor = int(ss.super[s])
+                break
+    return SuperFactor(plan=dp.plan, Lx=Lx, perm=dp.sym.perm, minor=minor,
+                       dtype=dtype), dp.sym
+
+
+# ---------------------------------------------------------------------------
+# Legacy per-level batch sharding (round-1 path, kept for comparison)
+# ---------------------------------------------------------------------------
+
 def _pad_batch(x: np.ndarray, mult: int) -> np.ndarray:
     b = x.shape[0]
     pad = (-b) % mult
     if pad == 0:
         return x
     padding = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-    return np.pad(x, padding, constant_values=(-1 if x.dtype.kind == "i" else 0))
+    return np.pad(x, padding,
+                  constant_values=(-1 if x.dtype.kind == "i" else 0))
 
 
 def distributed_level_step(mesh: Mesh, Lx: jax.Array, bucket,
                            trash: int) -> jax.Array:
-    """One elimination-level bucket on a device mesh.
-
-    The supernode batch is sharded over the mesh; each shard factorizes its
-    panels; write-back and extend-add reduce into the replicated factor
-    buffer (XLA inserts the cross-chip collectives).
-    """
+    """One elimination-level bucket batch-sharded over the mesh (legacy
+    round-1 building block; the subtree program above supersedes it)."""
     ndev = mesh.devices.size
     Np, Mb, base, B = bucket.Np, bucket.Mb, bucket.base, len(bucket.sids)
     Mp = Np + Mb
     pe = _pad_batch(bucket.padeye, ndev)
-    pe[len(bucket.sids):, :] = 1.0   # pad-batch panels = identity (finite chol)
+    pe[len(bucket.sids):, :] = 1.0
     rmask = _pad_batch(bucket.rowmask, ndev)
     cmask = _pad_batch(bucket.colmask, ndev)
     dest_p = _pad_batch(bucket.dest, ndev)
     dest_p[dest_p < 0] = trash
-    Bp = pe.shape[0]
 
-    sh_b = NamedSharding(mesh, P("batch"))
+    sh_b = NamedSharding(mesh, P(mesh.axis_names[0]))
     sh_r = NamedSharding(mesh, P())
     ped = jax.device_put(jnp.asarray(pe, dtype=Lx.dtype), sh_b)
     rmd = jax.device_put(jnp.asarray(rmask, dtype=Lx.dtype), sh_b)
@@ -71,7 +556,6 @@ def distributed_level_step(mesh: Mesh, Lx: jax.Array, bucket,
     def step(Lx, pe, rmask, cmask, d):
         Pfull = jax.lax.dynamic_slice(Lx, (base,), (B * Mp * Np,))
         Pfull = Pfull.reshape(B, Mp, Np)
-        # pad the batch to the mesh multiple (panels of zeros + identity)
         padB = pe.shape[0] - B
         if padB:
             Pnl = jnp.concatenate(
@@ -95,60 +579,7 @@ def distributed_level_step(mesh: Mesh, Lx: jax.Array, bucket,
         Lx = jax.lax.dynamic_update_slice(
             Lx, newP[:B].reshape(-1), (base,))
         if Mb:
-            # extend-add: cross-chip reduction into the replicated buffer
             Lx = Lx.at[d.reshape(-1)].add(-U.reshape(-1), mode="drop")
         return Lx
 
     return step(Lx, ped, rmd, cmd, dd)
-
-
-def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32,
-                          root_2d_min: int = 256, root_2d_nb: int = 128):
-    """Full supernodal factorization with every level sharded over `mesh`.
-
-    Two distribution regimes (SURVEY.md §7.6): wide levels are *batch*
-    sharded (independent supernodes across chips); a lone large root front
-    (B == 1, no below rows, Np >= root_2d_min) switches to the
-    column-block-cyclic distributed POTRF (parallel.block_cyclic) so the
-    sequential top of the etree also uses every chip.
-
-    Returns (SuperFactor, symbolic); solve via solve_super on the
-    replicated result.
-    """
-    from ..cholesky import analyze, super_symbolic
-    from ..cholesky.super_numeric import (SuperFactor, _assemble_values,
-                                          build_plan)
-    from ..core.common import default_common
-
-    cm = common or default_common()
-    cm.cholesky.supernodal = "supernodal"
-    sym = analyze(A, cm)
-    ss = super_symbolic(A, sym, cm)
-    plan = build_plan(ss)
-    from ..cholesky.super_numeric import _a_sorted_maps
-    vals = _assemble_values(A, sym, ss, dtype)
-    a_src, a_dst = _a_sorted_maps(ss)
-    Lx = jnp.zeros(plan.total + 1, dtype=dtype)
-    Lx = Lx.at[jnp.asarray(a_dst)].set(jnp.asarray(vals)[jnp.asarray(a_src)],
-                                       indices_are_sorted=True,
-                                       unique_indices=True,
-                                       mode="promise_in_bounds")
-    from .block_cyclic import block_cyclic_cholesky
-    for lv in plan.levels:
-        for b in lv:
-            Np, Mb, B = b.Np, b.Mb, len(b.sids)
-            if (B == 1 and Mb == 0 and Np >= root_2d_min
-                    and mesh.devices.size > 1):
-                # lone root front: 2D block-cyclic POTRF over the mesh
-                base = int(b.base)
-                Pn = np.asarray(Lx[base:base + Np * Np],
-                                dtype=np.float64).reshape(Np, Np)
-                T = Pn + np.tril(Pn, -1).T + np.diag(b.padeye[0])
-                L = block_cyclic_cholesky(T, mesh, nb=root_2d_nb)
-                L = L * b.colmask[0][:, None] * b.colmask[0][None, :]
-                Lx = Lx.at[base:base + Np * Np].set(
-                    jnp.asarray(L.reshape(-1), dtype=dtype))
-            else:
-                Lx = distributed_level_step(mesh, Lx, b, plan.total)
-    return SuperFactor(plan=plan, Lx=Lx, perm=sym.perm, minor=plan.n,
-                       dtype=dtype), sym
