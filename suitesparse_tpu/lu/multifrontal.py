@@ -75,20 +75,52 @@ class UmfSymbolic:
     singles: Optional[UmfSingletons] = None
 
 
+def _max_product_matching(A: SparseCSC):
+    """MC64-class maximum-product matching: a perfect matching maximizing
+    prod |a_{match(j), j}|, via exact min-weight bipartite matching on
+    -log(|a|/colmax) costs (Jonker-Volgenant).  The static-pivot analog of
+    Duff-Koster MC64 job=4, the standard GESP pre-pivoting.  Returns the
+    column->row match or None (structurally singular / unavailable)."""
+    try:
+        from scipy.sparse.csgraph import min_weight_full_bipartite_matching
+    except ImportError:                        # pragma: no cover
+        return None
+    import scipy.sparse as sp
+    n = A.ncol
+    absd = np.abs(A.data).astype(np.float64)
+    col = np.repeat(np.arange(n, dtype=INDEX), np.diff(A.indptr))
+    colmax = np.zeros(n)
+    np.maximum.at(colmax, col, absd)
+    colmax[colmax == 0] = 1.0
+    w = -np.log(np.maximum(absd, 1e-300) / colmax[col]) + 1e-12
+    Cw = sp.csc_matrix((w, A.indices, A.indptr), shape=A.shape)
+    try:
+        r, c = min_weight_full_bipartite_matching(Cw.tocsr())
+    except Exception:
+        return None
+    if len(r) < n:
+        return None
+    match = np.empty(n, dtype=INDEX)
+    match[c] = r
+    return match
+
+
 def _weighted_matching(A: SparseCSC) -> tuple[np.ndarray, int]:
     """MC64-flavored static pivot selection: a perfect matching using only
     *large* entries when one exists.
 
     The reference relies on dynamic threshold partial pivoting
     (umf_local_search.c); our static-pivot design needs large diagonal
-    entries up front.  Structural maxtrans is value-blind, so we run it on
-    progressively relaxed thresholded patterns (|a_ij| >= t * max|col j|)
-    and keep the strictest level that still yields a maximum matching —
-    every matched pivot is then within factor t of its column max, which is
-    exactly the threshold-pivoting acceptance rule applied statically.
+    entries up front.  First choice is the exact maximum-product matching
+    (above); the fallback runs structural maxtrans on progressively relaxed
+    thresholded patterns (|a_ij| >= t * max|col j|) and keeps the strictest
+    level that still yields a maximum matching.
     """
     if A.data is None:
         return maxtrans(A)
+    m = _max_product_matching(A)
+    if m is not None:
+        return m, A.ncol
     n = A.ncol
     colmax = np.zeros(n)
     for j in range(n):
@@ -184,10 +216,15 @@ def umf_symbolic(A: SparseCSC, common: Optional[Common] = None) -> UmfSymbolic:
     rperm = rowmatch              # position j <- row rowmatch[j]
     B = A.permute(rperm, None)
 
-    # symmetrized pattern for the fill analysis
+    # symmetrized pattern for the fill analysis — STRUCTURAL, not
+    # value-based: explicit stored zeros are entries (umfpack keeps them;
+    # a value-based `!= 0` here would shrink the analysis pattern below
+    # the scatter maps' pattern and collide slots — seen on west0479)
     import scipy.sparse as sp
     S = B.to_scipy()
-    Ssym = ((S != 0) + (S != 0).T).astype(np.float64)
+    Spat = sp.csc_matrix(
+        (np.ones(S.nnz), S.indices.copy(), S.indptr.copy()), shape=S.shape)
+    Ssym = (Spat + Spat.T).astype(np.float64)
     U = sp.triu(Ssym).tocsc()
     Asym = SparseCSC(U.indptr.astype(INDEX), U.indices.astype(INDEX),
                      U.data, U.shape, stype=SYM_UPPER)
@@ -318,6 +355,9 @@ class UmfNumeric:
     bAs: Optional[list] = None   # per block: the current-value submatrix
     Spq_csc: object = None
     Spq_csr: object = None
+    # matched-diagonal column scaling (GESP two-sided equilibration);
+    # the factored matrix is diag(1/Rs)[rows] A [cols] diag(1/Cs)
+    Cs: Optional[np.ndarray] = None
 
     @property
     def ok(self) -> bool:
@@ -378,6 +418,16 @@ def umf_numeric(A: SparseCSC, S: UmfSymbolic,
     Asc = sp.diags(1.0 / Rs) @ A.to_scipy().tocsr()
     B2 = sp.csc_matrix(Asc)[S.a_perm_rows, :][:, S.a_perm_cols].tocsc()
     B2.sort_indices()
+    # column scaling by the matched diagonal (GESP/MC64 duals analog):
+    # makes every static pivot 1 after two-sided scaling, which keeps the
+    # restricted-pivot factorization well-conditioned on hard matrices
+    if S.strategy != "symmetric" and cm.lu.scale != "none":
+        Cs = np.abs(B2.diagonal())
+        Cs[(Cs == 0) | ~np.isfinite(Cs)] = 1.0
+        B2 = (B2 @ sp.diags(1.0 / Cs)).tocsc()
+        B2.sort_indices()
+    else:
+        Cs = np.ones(n)
 
     vals = B2.data.astype(dtype)
     # sorted+unique assembly sets (see cholesky.super_numeric.sorted_scatter_maps)
@@ -420,7 +470,7 @@ def umf_numeric(A: SparseCSC, S: UmfSymbolic,
     cm.status = Status.SINGULAR if singular else Status.OK
     cm.info.update({"umf_numeric_time": t, "umf_strategy": S.strategy})
     return UmfNumeric(symbolic=S, Lb=Lb, Ub=Ub, pivs=pivs, Rs=Rs,
-                      dtype=dtype, singular=singular)
+                      dtype=dtype, singular=singular, Cs=Cs)
 
 
 # ---------------------------------------------------------------------------
@@ -593,11 +643,16 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
             Ssc = Ssc.conj().T if system == "At" else (
                 Ssc.T if system == "Aat" else Ssc)
             anorm = A.norm(np.inf)
+            best_x, best_omega = x, np.inf
             for it in range(steps):
                 r = bk - Ssc @ x
                 omega = np.abs(r).max() / max(
                     anorm * np.abs(x).max() + np.abs(bk).max(), 1e-300)
                 cm.info[f"umf_omega_{it}"] = float(omega)
+                if not np.isfinite(omega) or omega >= best_omega:
+                    x = best_x        # diverging/stagnating: keep the best
+                    break             # (umf_solve.c stopping rule)
+                best_x, best_omega = x, omega
                 if omega < 1e-14:
                     break
                 x = x + solve_fn(r)
@@ -628,18 +683,21 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
                                            la, meta, conj and is_c)[:n],
                           dtype=host_dt)
 
+    Cs = num.Cs if num.Cs is not None else np.ones(n)
+
     def one_solve(rhs):
-        # A = R (PAQ-indexed B);  Ax=b  <=> B y = (b/R)[rows], x[cols] = y
+        # A = R (PAQ-indexed B C);  Ax=b  <=>  B w = (b/R)[rows],
+        # x[cols] = w / C   (B is the two-sided-scaled factored matrix)
         z = (rhs / num.Rs[:, None])[S.a_perm_rows, :]
         y = _usolve(_lsolve(z))
         out = np.empty((n, k), dtype=host_dt)
-        out[S.a_perm_cols, :] = y
+        out[S.a_perm_cols, :] = y / Cs[:, None]
         return out
 
     def one_tsolve(rhs, conj):
-        # A^{H/T} x = b  <=>  B^{H/T} (P R x) = Q'b; Rs is real so the
-        # scaling needs no conjugation
-        z = rhs[S.a_perm_cols, :]
+        # A^{H/T} x = b  <=>  B^{H/T} (P R x) = C^{-1} Q'b; Rs and Cs are
+        # real so the scalings need no conjugation
+        z = rhs[S.a_perm_cols, :] / Cs[:, None]
         y = _ltsolve(_utsolve(z, conj), conj)
         out = np.empty((n, k), dtype=host_dt)
         out[S.a_perm_rows, :] = y
@@ -685,11 +743,16 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
         elif system == "Aat":
             Ssc = Ssc.T
         anorm = A.norm(np.inf)
+        best_x, best_omega = x, np.inf
         for it in range(steps):
             r = bk - Ssc @ x
             omega = np.abs(r).max() / max(
                 anorm * np.abs(x).max() + np.abs(bk).max(), 1e-300)
             cm.info[f"umf_omega_{it}"] = float(omega)
+            if not np.isfinite(omega) or omega >= best_omega:
+                x = best_x            # diverging/stagnating: keep the best
+                break                 # (umf_solve.c stopping rule)
+            best_x, best_omega = x, omega
             if omega < 1e-14:
                 break
             x = x + solve_fn(r)
@@ -859,8 +922,11 @@ def umf_determinant(num: UmfNumeric) -> tuple[float, float]:
         d = np.diag(panel[:ns, :ns])
         sign *= np.prod(np.sign(d))
         logdet += np.sum(np.log(np.abs(d)))
-    # row scaling: A = diag(Rs) · Asc, so det(A) = det(Asc) · prod(Rs)
+    # two-sided scaling: the factored matrix is R^{-1} A C^{-1} (permuted),
+    # so det(A) = det(B) · prod(Rs) · prod(Cs)
     logdet += np.sum(np.log(num.Rs))
+    if num.Cs is not None:
+        logdet += np.sum(np.log(num.Cs))
     e = np.floor(logdet / np.log(10.0))
     m = sign * np.exp(logdet - e * np.log(10.0))
     if np.iscomplexobj(m):

@@ -38,24 +38,24 @@ def _sorted_pair(bq, key: str, src: np.ndarray, dst: np.ndarray):
     """Cache (src, dst) reordered by destination so the assembly scatter can
     promise sorted+unique indices (vectorized one-pass update on TPU; same
     lowering trick as the Cholesky extend-add, NOTES_ROUND1.md)."""
-    maps = bq.__dict__.get(key)
+    maps = getattr(bq, key)
     if maps is None:
         dst = np.asarray(dst)
         order = np.argsort(dst, kind="stable")
         maps = (np.asarray(src)[order].astype(INDEX),
                 dst[order].astype(INDEX))
-        bq.__dict__[key] = maps
+        setattr(bq, key, maps)
     return maps
 
 
 def _sorted_drop(bq, key: str, dst: np.ndarray, trash: int):
     """Cache (src, dst) maps for an output scatter whose pad entries point
     at the single trash slot: drop pads on the host, sort by destination."""
-    maps = bq.__dict__.get(key)
+    maps = getattr(bq, key)
     if maps is None:
         flat = np.asarray(dst).reshape(-1)
         maps = sorted_scatter_maps(np.where(flat == trash, -1, flat))
-        bq.__dict__[key] = maps
+        setattr(bq, key, maps)
     return maps
 
 
@@ -82,6 +82,14 @@ class _QRBucket:
     rowidx: np.ndarray        # (B, FCmNp) global beyond cols (n = pad)
     ns: np.ndarray            # (B,) true pivotal widths
     fr: np.ndarray            # (B,) true front row counts
+    # cached sorted scatter maps (built lazily by _sorted_pair/_sorted_drop;
+    # declared so slots=True/frozen variants would not silently break them)
+    _a_maps: tuple = None
+    _c_maps: tuple = None
+    _cb_maps: tuple = None
+    _r_maps: tuple = None
+    _cout_maps: tuple = None
+    _cbout_maps: tuple = None
 
 
 @dataclasses.dataclass
@@ -108,7 +116,11 @@ def qr_symbolic(A: SparseCSC, common: Optional[Common] = None) -> QRSymbolic:
     import scipy.sparse as sp
 
     S = A.to_scipy().tocsc()
-    AtA = (S.T @ S).tocsc()
+    # structural A'A (ones, not values: numeric cancellation or explicit
+    # zeros must not shrink the analysis pattern below the assembly maps)
+    Spat = sp.csc_matrix((np.ones(S.nnz), S.indices.copy(),
+                          S.indptr.copy()), shape=S.shape)
+    AtA = (Spat.T @ Spat).tocsc()
     U = sp.triu(AtA).tocsc()
     Asym = SparseCSC(U.indptr.astype(INDEX), U.indices.astype(INDEX),
                      np.ones(U.nnz), U.shape, stype=SYM_UPPER)

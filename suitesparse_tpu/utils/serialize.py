@@ -251,6 +251,8 @@ def load_umf_symbolic(path):
 def _umf_num_pack(num, arrays: dict, prefix: str) -> dict:
     meta = dict(dtype=np.dtype(num.dtype).name, singular=bool(num.singular))
     arrays[prefix + "Rs"] = np.asarray(num.Rs)
+    if num.Cs is not None:
+        arrays[prefix + "Cs"] = np.asarray(num.Cs)
     if num.bnums is not None:
         meta["spq"] = _csc_pack(SparseCSC.from_scipy(num.Spq_csc.tocsc()),
                                 arrays, prefix + "spq_")
@@ -301,7 +303,8 @@ def _umf_num_load(meta: dict, arr: dict, prefix: str, S):
         for li, cnt in enumerate(meta["piv_counts"]))
     return UmfNumeric(symbolic=S, Lb=jnp.asarray(arr[prefix + "Lb"]),
                       Ub=jnp.asarray(arr[prefix + "Ub"]), pivs=pivs,
-                      Rs=Rs, dtype=dtype, singular=meta["singular"])
+                      Rs=Rs, dtype=dtype, singular=meta["singular"],
+                      Cs=arr.get(prefix + "Cs"))
 
 
 def save_umf_numeric(path, num) -> None:

@@ -196,11 +196,12 @@ class TestUmfSystems:
         rng = np.random.default_rng(31)
         b = rng.standard_normal(n)
         x_a = umf_solve(num, b, "A", refine=0)
-        # x = Q (U \ (L \ (P R^{-1} b)))
+        # x = C^{-1} Q (U \ (L \ (P R^{-1} b)))  — the factored matrix is
+        # the two-sided-scaled R^{-1} A C^{-1}
         z = (b / num.Rs)[S.a_perm_rows]
         y = umf_solve(num, umf_solve(num, z, "L"), "U")
         x2 = np.empty(n)
-        x2[S.a_perm_cols] = y
+        x2[S.a_perm_cols] = y / num.Cs
         assert np.abs(x2 - x_a).max() < 1e-10
 
     def test_transpose_compose_equals_At(self):
@@ -208,7 +209,7 @@ class TestUmfSystems:
         n = A.ncol
         b = np.random.default_rng(32).standard_normal(n)
         x_t = umf_solve(num, b, "At", refine=0)
-        z = b[S.a_perm_cols]
+        z = b[S.a_perm_cols] / num.Cs
         y = umf_solve(num, umf_solve(num, z, "Ut"), "Lt")
         x2 = np.empty(n)
         x2[S.a_perm_rows] = y
