@@ -8,11 +8,19 @@ plus a **measured dense-GEMM roofline** on the same chip so the factor
 rate can be reported as a fraction of attainable peak (MFU), per
 BASELINE.md's ">=80% of dense-GEMM speed-of-light" bar.
 
+TIMING PHYSICS (round-3 fix): `block_until_ready()` does NOT reliably
+synchronize through the axon remote-execution tunnel, so every round-1/2
+sub-ms timing was untrustworthy — the round-1 "10 TFLOP/s on lap3d_28"
+headline and the round-2 "22 PFLOP/s roofline" are RETRACTED.  Every timed
+region here now ends with a forced host readback of one element of the
+result, and the measured roofline is asserted against the chip's datasheet
+peak (v5e bf16 ~197 TFLOP/s).
+
 Matrices: the genuine bcsstk16 from the reference's own fixture set
 (CSparse/Matrix/bcsstk16 — a real HB structural problem, n=4884), plus
-honestly-named synthetic scale stand-ins lap3d_28 (~nd6k scale) and
-lap3d_44 (~nd24k scale).  No synthetic matrix is served under a real
-matrix's name (collection.get raises for unavailable real names).
+honestly-named synthetic scale stand-ins lap3d_28 (~nd6k scale), lap3d_44
+(~nd24k scale) and lap3d_64 (n=262k, ~1e12 flop class).  No synthetic
+matrix is served under a real matrix's name.
 
 Prints ONE JSON line for the driver: the factor rate on the largest
 matrix.  vs_baseline = scipy SuperLU (splu) factor-time ratio on the same
@@ -31,33 +39,56 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def readback(x):
+    """Force full completion of x: fetch one element to the host."""
+    import jax
+    return float(jax.device_get(x.ravel()[0]).real)
+
+
+def timed(fn, repeats):
+    """(single_s, amortized_s): one call with readback, then `repeats`
+    queued calls with one readback at the end (steady-state throughput)."""
+    out = fn()
+    readback(out)
+    t0 = time.perf_counter()
+    out = fn()
+    readback(out)
+    single = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn()
+    readback(out)
+    amort = (time.perf_counter() - t0) / repeats
+    return single, amort
+
+
 def measure_gemm_roofline(dtype, size=8192, iters=8):
     """Attainable dense-matmul rate on this chip (the speed-of-light the
-    factor rate is compared against)."""
+    factor rate is compared against).  Chained with a data dependency and
+    closed by a host readback so the tunnel cannot hide execution time."""
     import jax
-    import jax.numpy as jnp
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     a = jax.random.normal(k1, (size, size), dtype=dtype)
     b = jax.random.normal(k2, (size, size), dtype=dtype)
-    f = jax.jit(lambda a, b: a @ b)
-    f(a, b).block_until_ready()
+    f = jax.jit(lambda x, y: x @ y)
+    c = f(a, b)
+    readback(c)
     t0 = time.perf_counter()
     c = a
     for _ in range(iters):
         c = f(c, b)
-    c.block_until_ready()
+    readback(c)
     dt = (time.perf_counter() - t0) / iters
     return 2 * size**3 / dt / 1e9
 
 
-def bench_matrix(name, repeats):
+def bench_matrix(name, repeats, gemm_f32):
     import jax.numpy as jnp
     from suitesparse_tpu.cholesky import (analyze, super_symbolic,
                                           residual_norm)
     from suitesparse_tpu.cholesky.super_numeric import (
         _assemble_values, build_plan, SuperFactor, solve_super)
-    from suitesparse_tpu.cholesky.wave import (wave_numeric, wave_lsolve,
-                                               wave_ltsolve)
+    from suitesparse_tpu.cholesky.pf import pf_numeric
     from suitesparse_tpu.core.common import default_common
     from suitesparse_tpu.io import collection
     from suitesparse_tpu.io.generators import symmetrize_upper
@@ -69,51 +100,49 @@ def bench_matrix(name, repeats):
     n = A.ncol
     cm = default_common()
     cm.cholesky.supernodal = "supernodal"
-    cm.cholesky.program = "wave"
+    cm.cholesky.program = "pf"
 
     t0 = time.perf_counter()
     sym = analyze(A, cm)
+    t_sym = time.perf_counter() - t0
     ss = super_symbolic(A, sym, cm)
+    t_ss = time.perf_counter() - t0 - t_sym
     plan = build_plan(ss)
-    wp = plan.wave_plan()
+    pfp = plan.pf_plan(cm)
+    t_plan = time.perf_counter() - t0 - t_sym - t_ss
+    wp = plan.wave_plan(solve_only=True)
     t_analyze = time.perf_counter() - t0
     log(f"[{name}] n={n} nnz(A)={A.nnz} lnz={sym.lnz} fl={sym.flops:.3g} "
         f"nsuper={ss.nsuper} buckets={plan.nbuckets} "
-        f"waves={len(wp.instr_cls)} classes={len(wp.classes)} "
-        f"analyze={t_analyze:.2f}s")
+        f"instr={len(pfp.instr_cls)} fcls={len(pfp.fmeta)} "
+        f"pcls={len(pfp.pmeta)} projfl={pfp.proj_flops:.2g} "
+        f"analyze={t_analyze:.2f}s (etree {t_sym:.2f} + super {t_ss:.2f} "
+        f"+ plan {t_plan:.2f} + solvemaps)")
 
     vals = _assemble_values(A, sym, ss, dtype)
     t0 = time.perf_counter()
-    Lx = wave_numeric(vals, wp, dtype)
-    Lx.block_until_ready()
+    Lx = pf_numeric(vals, pfp, dtype)
+    readback(Lx)
     t_first = time.perf_counter() - t0
     # steady state = the refactorization path (values change, pattern
     # fixed): the program and all static maps are reused verbatim
     vd = jnp.asarray(vals)
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        Lx = wave_numeric(vd, wp, dtype)
-        Lx.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    t_factor = min(times)
+    t_single, t_factor = timed(lambda: pf_numeric(vd, pfp, dtype), repeats)
     gflops = sym.flops / t_factor / 1e9
 
-    # device solve (4*lnz/ts protocol)
+    # device solve (4*lnz/ts protocol), single RHS and a 32-RHS batch
     b = np.ones(n)
     f = SuperFactor(plan=plan, Lx=Lx, perm=sym.perm, minor=n, dtype=dtype)
-    x = solve_super(f, b, "A", cm)          # includes compile
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        x = solve_super(f, b, "A", cm)
-        times.append(time.perf_counter() - t0)
-    t_solve = min(times)
+    _, t_solve = timed(lambda: solve_super(f, b, "A", cm), repeats)
     solve_gflops = 4 * sym.lnz / t_solve / 1e9
+    B32 = np.ones((n, 32))
+    _, t_solve32 = timed(lambda: solve_super(f, B32, "A", cm),
+                         max(repeats // 2, 1))
+    solve32_gflops = 4 * sym.lnz * 32 / t_solve32 / 1e9
 
     # residual with f64 refinement on host (mixed-precision story)
     Sf = A.to_scipy().astype(np.float64)   # to_scipy expands sym storage
-    x = x.astype(np.float64)
+    x = solve_super(f, b, "A", cm).astype(np.float64)
     for _ in range(3):
         r = b - Sf @ x
         x = x + np.asarray(solve_super(f, r, "A", cm), dtype=np.float64)
@@ -126,13 +155,16 @@ def bench_matrix(name, repeats):
     t_base = time.perf_counter() - t0
 
     log(f"[{name}] first-factor {t_first*1e3:.1f} ms, "
-        f"refactor {t_factor*1e3:.3f} ms -> {gflops:.1f} GFLOP/s; "
-        f"solve {t_solve*1e3:.3f} ms -> {solve_gflops:.2f} GFLOP/s; "
-        f"residual {res:.2e}; scipy splu {t_base*1e3:.1f} ms "
-        f"({t_base/t_factor:.0f}x)")
+        f"refactor {t_factor*1e3:.3f} ms (single-call {t_single*1e3:.3f}) "
+        f"-> {gflops:.1f} GFLOP/s ({100*gflops/gemm_f32:.1f}% of measured "
+        f"f32 GEMM peak); solve {t_solve*1e3:.3f} ms -> "
+        f"{solve_gflops:.2f} GFLOP/s (32-rhs {t_solve32*1e3:.2f} ms -> "
+        f"{solve32_gflops:.1f}); residual {res:.2e}; "
+        f"scipy splu {t_base*1e3:.1f} ms ({t_base/t_factor:.0f}x)")
     return dict(name=name, n=n, fl=sym.flops, lnz=int(sym.lnz),
-                t_factor=t_factor, gflops=gflops, t_solve=t_solve,
-                solve_gflops=solve_gflops, residual=res, t_base=t_base)
+                t_analyze=t_analyze, t_factor=t_factor, gflops=gflops,
+                t_solve=t_solve, solve_gflops=solve_gflops,
+                solve32_gflops=solve32_gflops, residual=res, t_base=t_base)
 
 
 def main():
@@ -154,6 +186,11 @@ def main():
     gemm_bf16 = measure_gemm_roofline(jnp.bfloat16, gemm_size)
     log(f"measured GEMM roofline ({gemm_size}^3): "
         f"f32 {gemm_f32:.0f} GFLOP/s, bf16 {gemm_bf16:.0f} GFLOP/s")
+    if platform == "tpu":
+        # v5e datasheet peak: bf16 ~197 TFLOP/s.  A reading above physics
+        # means the timing did not synchronize (the round-2 failure mode).
+        assert max(gemm_f32, gemm_bf16) < 2.2e5, \
+            "impossible roofline: timings are not synchronizing"
 
     names = os.environ.get("BENCH_MATRIX", "").split(",") if \
         os.environ.get("BENCH_MATRIX") else (
@@ -162,9 +199,8 @@ def main():
     results = []
     for name in names:
         try:
-            r = bench_matrix(name, repeats)
+            r = bench_matrix(name, repeats, gemm_f32)
             r["pct_gemm_peak"] = 100.0 * r["gflops"] / gemm_f32
-            log(f"[{name}] {r['pct_gemm_peak']:.1f}% of measured f32 GEMM peak")
             results.append(r)
         except Exception as e:  # noqa: BLE001 - keep benching other matrices
             log(f"[{name}] FAILED: {type(e).__name__}: {e}")

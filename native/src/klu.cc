@@ -157,9 +157,15 @@ GPResult<T>* gp_factor(int64_t nb, const int64_t* Bp, const int64_t* Bi,
       intouch[r] = 0;
       if (r == pr_new) continue;
       const int64_t jpos = pinv[r];
+      // keep the full symbolic reach, including exactly-zero values:
+      // gp_refactor clears x over the STORED pattern only, so a dropped
+      // position that becomes nonzero under new values would leave a
+      // stale entry (reference KLU keeps the reach value-independently,
+      // klu_kernel.c lsolve-symbolic; explicit zeros are common in
+      // circuit matrices)
       if (jpos != -1) {
-        if (v != T(0)) ucol.emplace_back(jpos, v);
-      } else if (v != T(0)) {
+        ucol.emplace_back(jpos, v);
+      } else {
         lrows.push_back(r);
         lvals.push_back(v / pivval);
       }

@@ -1,0 +1,526 @@
+"""Pass-forward (multifrontal) numeric program: MXU extend-add.
+
+Round-2 measurement on the real v5e: XLA's element-granular gather /
+scatter / segment ops run at 10-20 GB/s, so the sorted-segment extend-add
+was 93% of the numeric phase (185 ms of 199 ms on lap3d_28).  This module
+replaces it with the CLASSICAL multifrontal update flow (Duff/Reid; the
+reference's frontal assembly t_cholmod_super_numeric.c:596-640, GPU map
+kernels cholmod_gpu_kernels.cu:17-66) re-architected for the MXU:
+
+  * every supernode owns an (Mb x Mb) **update slot** in a bucket-
+    contiguous update buffer appended to the panel buffer.  A child's
+    Schur complement goes ONLY to its parent's frame (the multifrontal
+    containment theorem, asserted at plan time) and the un-owned part is
+    passed upward through the parent's own update;
+  * the child->parent frame placement is patch = Wh U Whᵀ with Wh a
+    one-hot row-placement matrix built on the fly from a static index
+    array (VPU compare), executed as a coarse row-gather + ONE batched
+    einsum per child group — MXU work instead of element scatters;
+  * children of one parent bucket are stacked on a padded group axis, so
+    whole elimination levels project in a handful of batched matmuls;
+  * small-update buckets where the projection flops would dwarf the data
+    keep a 1-HOP sorted-segment scatter (into the parent frame only, not
+    all ancestors) — chosen per bucket by a measured cost model.
+
+Program form: like wave.py, ONE ``lax.scan`` over a static instruction
+stream with ``lax.switch`` over shape classes (factor classes + projection
+classes), so compile time is O(#distinct shapes).  The panel layout, the
+A-assembly map, and the solve programs are shared with wave.py unchanged.
+
+Update-slot convention: a slot holds the accumulated incoming update in
+LOWER-triangle-canonical form until its supernode factors (the factor
+branch symmetrizes), then the FULL symmetric outgoing update U = B Bᵀ+acc.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sparse import INDEX
+from .super_numeric import NumericPlan, scatter_add_maps
+
+__all__ = ["PFPlan", "build_pf_plan", "pf_numeric"]
+
+
+def _pow2ceil(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _pad_to(a: np.ndarray, length: int, fill) -> np.ndarray:
+    out = np.full((length,) + a.shape[1:], fill, dtype=a.dtype)
+    out[:len(a)] = a
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host planning
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PFPlan:
+    plan: NumericPlan
+    fmeta: tuple        # per factor class: (Np, Mb, W, mode, L, K)
+    fops: list          # per factor class: dict of stacked host arrays
+    pmeta: tuple        # per proj class: (Wc, Mbc, Wp, Npt, Mbt, G)
+    pops: list          # per proj class: dict of stacked host arrays
+    instr_cls: np.ndarray   # class id per instruction (proj ids offset by
+    instr_pos: np.ndarray   # len(fmeta)); schedule order
+    buf: int
+    ub_total: int
+    proj_flops: float   # projection flop count (diagnostic)
+    scat_entries: int   # 1-hop scatter entry count (diagnostic)
+    _cache: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def meta(self):
+        return (self.fmeta, self.pmeta)
+
+    def arrays(self, dtype):
+        key = np.dtype(dtype).name
+        got = self._cache.get(key)
+        if got is None:
+            fo = tuple(
+                {k: jnp.asarray(v, dtype=dtype)
+                 if k in ("padeye", "rowmask", "colmask", "sgn")
+                 else jnp.asarray(v) for k, v in ops.items()}
+                for ops in self.fops)
+            po = tuple({k: jnp.asarray(v) for k, v in ops.items()}
+                       for ops in self.pops)
+            got = (fo, po)
+            self._cache[key] = got
+        return got
+
+    @property
+    def instr(self):
+        got = self._cache.get("instr")
+        if got is None:
+            got = (jnp.asarray(self.instr_cls), jnp.asarray(self.instr_pos))
+            self._cache["instr"] = got
+        return got
+
+
+def _dest_1hop(ss, rows_of, where, ub_slot_of, b, total: int, trash: int):
+    """1-hop extend-add targets for one bucket: entry (i, c) of supernode
+    s's update goes to the PARENT frame — its panel when the target column
+    is a parent pivot column, else the parent's update slot (lower
+    triangle only; the slot is lower-canonical until the parent factors).
+    """
+    sup = ss.super
+    B, Mb = len(b.sids), b.Mb
+    dest = np.full((B, Mb, Mb), trash, dtype=INDEX)
+    parent = np.asarray(ss.sn_parent)
+    for k, s in enumerate(np.asarray(b.sids).tolist()):
+        ms, ns = ss.panel_shape(s)
+        mb = ms - ns
+        if not mb:
+            continue
+        r = rows_of[s][ns:]
+        t = int(parent[s])
+        assert t >= 0, "supernode with below rows lacks a parent"
+        rows_t = rows_of[t]
+        ns_t = int(sup[t + 1] - sup[t])
+        j1_t = int(sup[t])
+        loc = np.searchsorted(rows_t, r)
+        ok = loc < len(rows_t)
+        locc = np.clip(loc, 0, max(len(rows_t) - 1, 0))
+        ok &= rows_t[locc] == r
+        assert ok.all(), ("multifrontal containment violated: child below "
+                          "rows must lie in the parent front")
+        Npt = int(ss.panel_Np[t])
+        Mbt = int(ss.panel_Mp[t]) - Npt
+        frow = int(ss.panel_off[t]) + ss.norm_local(t, locc) * Npt
+        is_col = locc < ns_t                   # target col owned by parent
+        below = locc - ns_t                    # parent below-row index
+        uoff = ub_slot_of[t]
+        ar = np.arange(mb)
+        # panel targets: (i, c) with is_col[c]; rows i >= c (lower tri)
+        d_panel = frow[:, None] + (r - j1_t)[None, :]
+        # update-slot targets: both below; lower tri of the parent slot
+        d_ub = uoff + below[:, None] * Mbt + below[None, :]
+        d = np.where(is_col[None, :], d_panel, d_ub)
+        valid = ar[:, None] >= ar[None, :]
+        dest[k, :mb, :mb] = np.where(valid, d, trash)
+    return dest
+
+
+def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
+    """Host planning, once per pattern: update-buffer layout, per-bucket
+    scatter/project mode decision, child->parent projection maps grouped
+    by (child bucket, parent chunk), and the stacked instruction stream."""
+    from ..core.common import default_common
+    cm = common or default_common()
+    opts = cm.cholesky
+    ss = plan.ss
+    n, total = plan.n, plan.total
+    sup = ss.super
+    parent = np.asarray(ss.sn_parent)
+    rows_of = [ss.rows_of(s) for s in range(ss.nsuper)]
+
+    # supernode -> (level, bucket idx, slot)
+    where = {}
+    for li, lv in enumerate(plan.levels):
+        for bi, b in enumerate(lv):
+            for slot, s in enumerate(b.sids.tolist()):
+                where[int(s)] = (li, bi, slot)
+
+    # --- update-buffer layout (mirrors the panel bucket layout) ----------
+    ub_base = {}
+    off = total
+    for li, lv in enumerate(plan.levels):
+        for bi, b in enumerate(lv):
+            if b.Mb:
+                nw = -(-len(b.sids) // b.W)
+                ub_base[(li, bi)] = off
+                off += nw * b.W * b.Mb * b.Mb
+    ub_total = off - total
+    trash = off
+    # per-supernode update-slot base (for 1-hop scatter targets)
+    ub_slot_of = np.full(ss.nsuper, -1, dtype=np.int64)
+    for li, lv in enumerate(plan.levels):
+        for bi, b in enumerate(lv):
+            if b.Mb:
+                base = ub_base[(li, bi)]
+                for slot, s in enumerate(b.sids.tolist()):
+                    ub_slot_of[int(s)] = base + slot * b.Mb * b.Mb
+
+    # --- per-bucket mode + instruction enumeration ------------------------
+    CAP = 24 << 20       # working floats per instruction slice
+    f_instrs = []        # (key, ops) in schedule order, tag 'f'
+    p_instrs = []        # (key, ops) tag 'p'
+    stream = []          # ('f'|'p', index into the tag list)
+    proj_flops = 0.0
+    scat_entries = 0
+
+    for li, lv in enumerate(plan.levels):
+        lv_proj = []
+        for bi, b in enumerate(lv):
+            Np, Mb, B, W = b.Np, b.Mb, len(b.sids), b.W
+            Mp = Np + Mb
+            nw = -(-B // W)
+            mode = 0
+            groups = {}
+            if Mb:
+                # group children by (parent bucket, parent chunk, child win)
+                pb_of = {}
+                child_list = []      # (slot, s, t, lj, bj, slotp)
+                for slot, s in enumerate(b.sids.tolist()):
+                    t = int(parent[s])
+                    lj, bj, slotp = where[t]
+                    assert lj == li + 1, "parent must be on the next level"
+                    child_list.append((slot, int(s), t, bj, slotp))
+                # per-pair chunk sizes
+                est_flops = 0.0
+                for slot, s, t, bj, slotp in child_list:
+                    pb = plan.levels[li + 1][bj]
+                    Mft = pb.Np + pb.Mb
+                    est_flops += 2.0 * Mft * pb.Np * Mb + \
+                        2.0 * pb.Mb * pb.Mb * Mb
+                ent = int(sum(
+                    (ss.panel_shape(s)[0] - ss.panel_shape(s)[1]) ** 2
+                    for s in b.sids.tolist())) // 2
+                t_scat = ent * 4.0 * 3.0 / opts.pf_scatter_bw
+                t_proj = est_flops / opts.pf_proj_rate
+                mode = 1 if (opts.pf_mode == "project"
+                             or (opts.pf_mode == "auto"
+                                 and t_proj < t_scat)) else 2
+                if mode == 1:
+                    # child window size for the update-stack slice
+                    Wc_tot = nw * W
+                    Wc = Wc_tot
+                    while Wc > 1 and Wc * Mb * Mb > CAP:
+                        Wc = (Wc + 1) // 2
+                    Wc = _pow2ceil(Wc)
+                    for slot, s, t, bj, slotp in child_list:
+                        pb = plan.levels[li + 1][bj]
+                        Mft = pb.Np + pb.Mb
+                        Wp = pb.W
+                        while Wp > 1 and Wp * Mft * max(Mb, pb.Np) > CAP:
+                            Wp //= 2
+                        wc = slot // Wc
+                        cp = slotp // Wp
+                        key = (bj, cp, wc, Wp)
+                        groups.setdefault(key, {}).setdefault(
+                            slotp - cp * Wp, []).append((slot - wc * Wc, s, t))
+            # ---- factor instructions (one per wave) ----------------------
+            ubb = ub_base.get((li, bi), 0)
+            if mode == 2:
+                dest = _dest_1hop(ss, rows_of, where, ub_slot_of, b,
+                                  total, trash)
+                scat_entries += ent
+            for w in range(nw):
+                lo, hi = w * W, min((w + 1) * W, B)
+                breal = hi - lo
+                padeye = np.ones((W, Np))
+                padeye[:breal] = b.padeye[lo:hi]
+                rowmask = np.zeros((W, Mp))
+                rowmask[:breal] = b.rowmask[lo:hi]
+                colmask = np.zeros((W, Np))
+                colmask[:breal] = b.colmask[lo:hi]
+                ops = dict(base=b.base + lo * Mp * Np,
+                           ubs=ubb + lo * Mb * Mb,
+                           padeye=padeye, rowmask=rowmask, colmask=colmask)
+                if mode == 2:
+                    src, ids, dst = scatter_add_maps(
+                        dest[lo:hi].reshape(-1), trash)
+                    ops.update(src=src, ids=ids, dst=dst)
+                key = (Np, Mb, W, mode)
+                stream.append(("f", len(f_instrs)))
+                f_instrs.append((key, ops))
+            # ---- projection instructions (after this bucket's factor) ----
+            if mode == 1:
+                Wc_tot = nw * W
+                for (bj, cp, wc, Wp), slots in sorted(groups.items()):
+                    pb = plan.levels[li + 1][bj]
+                    Npt, Mbt = pb.Np, pb.Mb
+                    Mft = Npt + Mbt
+                    G = _pow2ceil(max(len(v) for v in slots.values()))
+                    csel = np.full((Wp, G), Wc, dtype=np.int32)
+                    idxf = np.full((Wp, G, Mft), Mb, dtype=np.int32)
+                    for slotp_rel, childs in slots.items():
+                        t = childs[0][2]
+                        rows_t = rows_of[t]
+                        ns_t = int(sup[t + 1] - sup[t])
+                        for g, (slot_rel, s, _t) in enumerate(childs):
+                            csel[slotp_rel, g] = slot_rel
+                            ms, ns = ss.panel_shape(s)
+                            mb = ms - ns
+                            r = rows_of[s][ns:]
+                            loc = np.searchsorted(rows_t, r)
+                            ok = (loc < len(rows_t))
+                            locc = np.clip(loc, 0, max(len(rows_t) - 1, 0))
+                            ok &= rows_t[locc] == r
+                            assert ok.all(), "containment violated"
+                            fpos = np.where(locc < ns_t, locc,
+                                            Npt + (locc - ns_t))
+                            idxf[slotp_rel, g, fpos] = np.arange(
+                                mb, dtype=np.int32)
+                            proj_flops += (2.0 * Mft * Npt * Mb
+                                           + 2.0 * Mbt * Mbt * Mb)
+                    ops = dict(cub=ub_base[(li, bi)] + wc * Wc * Mb * Mb,
+                               pbase=pb.base + cp * Wp * (Npt + Mbt) * Npt,
+                               pub=(ub_base.get((li + 1, bj), 0)
+                                    + cp * Wp * Mbt * Mbt),
+                               csel=csel, idxf=idxf)
+                    key = (Wc, Mb, Wp, Npt, Mbt, G)
+                    stream.append(("p", len(p_instrs)))
+                    p_instrs.append((key, ops))
+
+    # --- stack operands per class -----------------------------------------
+    def stack(instrs, pad_scat=False):
+        keys, by = [], {}
+        for key, ops in instrs:
+            if key not in by:
+                by[key] = []
+                keys.append(key)
+            by[key].append(ops)
+        cls_id = {k: i for i, k in enumerate(keys)}
+        stacked = []
+        kmax = 0
+        for key in keys:
+            ws = by[key]
+            out = {}
+            names = list(ws[0].keys())
+            if pad_scat and "src" in names:
+                L = max(len(w["src"]) for w in ws)
+                K = max(len(w["dst"]) for w in ws) + 1
+                kmax = max(kmax, K)
+                srcs, idss, dsts, sgns = [], [], [], []
+                for w in ws:
+                    k = len(w["dst"])
+                    srcs.append(_pad_to(w["src"], L, 0))
+                    idss.append(_pad_to(w["ids"], L, max(K - 1, 0)))
+                    dpad = np.concatenate([
+                        w["dst"],
+                        trash + 1 + np.arange(K - k, dtype=INDEX)])
+                    dsts.append(dpad.astype(INDEX))
+                    sgns.append(np.where(dpad < total, -1.0, 1.0))
+                out.update(src=np.stack(srcs), ids=np.stack(idss),
+                           dst=np.stack(dsts), sgn=np.stack(sgns))
+                names = [x for x in names if x not in ("src", "ids", "dst")]
+                key = key + (L, K)
+            elif pad_scat:
+                key = key + (0, 0)
+            for name in names:
+                vals = [w[name] for w in ws]
+                out[name] = (np.array(vals, dtype=INDEX)
+                             if np.isscalar(vals[0]) else np.stack(vals))
+            stacked.append((key, out))
+        pos = {k: 0 for k in keys}
+        return keys, cls_id, stacked, pos, kmax
+
+    fkeys, fid, fstk, fpos_ctr, kmax = stack(f_instrs, pad_scat=True)
+    pkeys, pid, pstk, ppos_ctr, _ = stack(p_instrs)
+
+    T = len(stream)
+    instr_cls = np.empty(T, dtype=np.int32)
+    instr_pos = np.empty(T, dtype=np.int32)
+    nf = len(fkeys)
+    for t, (tag, i) in enumerate(stream):
+        key = (f_instrs if tag == "f" else p_instrs)[i][0]
+        if tag == "f":
+            instr_cls[t] = fid[key]
+            instr_pos[t] = fpos_ctr[key]
+            fpos_ctr[key] += 1
+        else:
+            instr_cls[t] = nf + pid[key]
+            instr_pos[t] = ppos_ctr[key]
+            ppos_ctr[key] += 1
+
+    # buffer: panels | update slots | trash region; extend for any slice
+    # overrun from pow2 window rounding (reads there are never selected,
+    # writes there are identity)
+    buf = trash + 1 + kmax
+    for (Wcw, Mbc, Wp, Npt, Mbt, G), ops in pstk:
+        Mpt = Npt + Mbt
+        buf = max(buf,
+                  int(np.max(ops["cub"])) + Wcw * Mbc * Mbc,
+                  int(np.max(ops["pbase"])) + Wp * Mpt * Npt,
+                  (int(np.max(ops["pub"])) + Wp * Mbt * Mbt) if Mbt else 0)
+    return PFPlan(plan=plan,
+                  fmeta=tuple(k for k, _ in fstk),
+                  fops=[o for _, o in fstk],
+                  pmeta=tuple(k for k, _ in pstk),
+                  pops=[o for _, o in pstk],
+                  instr_cls=instr_cls, instr_pos=instr_pos,
+                  buf=int(buf), ub_total=int(ub_total),
+                  proj_flops=proj_flops, scat_entries=scat_entries)
+
+
+# ---------------------------------------------------------------------------
+# Device program
+# ---------------------------------------------------------------------------
+
+def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16):
+    Mp = Np + Mb
+
+    def br(Fx, pos, ops):
+        base = ops["base"][pos]
+        pe = ops["padeye"][pos]
+        rm = ops["rowmask"][pos]
+        cmk = ops["colmask"][pos]
+        P = jax.lax.dynamic_slice(Fx, (base,), (W * Mp * Np,))
+        P = P.reshape(W, Mp, Np)
+        # upper triangle of the diagonal block may hold projection junk
+        T = jnp.tril(P[:, :Np, :])
+        Tfull = T + jnp.tril(T, -1).transpose(0, 2, 1)
+        Tfull = Tfull + jax.vmap(jnp.diag)(pe)
+        C = jnp.linalg.cholesky(Tfull)
+        if Mb:
+            Bm = P[:, Np:, :]
+            Bm = jax.lax.linalg.triangular_solve(
+                C, Bm, left_side=False, lower=True, transpose_a=True)
+            Bs = Bm.astype(jnp.bfloat16) if syrk_bf16 else Bm
+            U = jnp.einsum("bik,bjk->bij", Bs, Bs,
+                           preferred_element_type=Fx.dtype)
+            ub = ops["ubs"][pos]
+            acc = jax.lax.dynamic_slice(Fx, (ub,), (W * Mb * Mb,))
+            acc = acc.reshape(W, Mb, Mb)
+            acc = jnp.tril(acc)        # lower-canonical incoming updates
+            U = U + acc + jnp.tril(acc, -1).transpose(0, 2, 1)
+            newP = jnp.concatenate([C, Bm], axis=1)
+        else:
+            newP = C
+        newP = newP * rm[:, :, None] * cmk[:, None, :]
+        Fx = jax.lax.dynamic_update_slice(Fx, newP.reshape(-1), (base,))
+        if Mb and mode == 1:
+            # publish the full symmetric outgoing update
+            Fx = jax.lax.dynamic_update_slice(Fx, U.reshape(-1), (ub,))
+        if Mb and mode == 2 and L:
+            u = U.reshape(-1)[ops["src"][pos]]
+            seg = jax.ops.segment_sum(u, ops["ids"][pos], num_segments=K,
+                                      indices_are_sorted=True)
+            Fx = Fx.at[ops["dst"][pos]].add(
+                seg * ops["sgn"][pos], indices_are_sorted=True,
+                unique_indices=True, mode="promise_in_bounds")
+        return Fx
+    return br
+
+
+def _proj_branch(Wc, Mbc, Wp, Npt, Mbt, G):
+    Mft = Npt + Mbt
+
+    def br(Fx, pos, ops):
+        dtype = Fx.dtype
+        cub = ops["cub"][pos]
+        Uc = jax.lax.dynamic_slice(Fx, (cub,), (Wc * Mbc * Mbc,))
+        Uc = Uc.reshape(Wc, Mbc, Mbc)
+        Ucz = jnp.concatenate(
+            [Uc, jnp.zeros((1, Mbc, Mbc), dtype=dtype)], axis=0)
+        csel = ops["csel"][pos]          # (Wp, G)
+        idxf = ops["idxf"][pos]          # (Wp, G, Mft)
+        ppatch = jnp.zeros((Wp, Mft, Npt), dtype=dtype)
+        tpatch = jnp.zeros((Wp, Mbt, Mbt), dtype=dtype) if Mbt else None
+        mcols = jnp.arange(Mbc, dtype=jnp.int32)
+        for g in range(G):
+            Ug = Ucz[csel[:, g]]                           # block gather
+            Ugz = jnp.concatenate(
+                [Ug, jnp.zeros((Wp, 1, Mbc), dtype=dtype)], axis=1)
+            ix = idxf[:, g]                                # (Wp, Mft)
+            R = jnp.take_along_axis(Ugz, ix[:, :, None], axis=1)
+            Wh = (ix[:, :, None] == mcols).astype(dtype)   # (Wp, Mft, Mbc)
+            ppatch = ppatch + jnp.einsum(
+                "kfm,khm->kfh", R, Wh[:, :Npt, :],
+                preferred_element_type=dtype)
+            if Mbt:
+                tpatch = tpatch + jnp.einsum(
+                    "kfm,khm->kfh", R[:, Npt:, :], Wh[:, Npt:, :],
+                    preferred_element_type=dtype)
+        pbase = ops["pbase"][pos]
+        Mpt = Npt + Mbt
+        region = jax.lax.dynamic_slice(Fx, (pbase,), (Wp * Mpt * Npt,))
+        region = region.reshape(Wp, Mpt, Npt) - ppatch
+        Fx = jax.lax.dynamic_update_slice(Fx, region.reshape(-1), (pbase,))
+        if Mbt:
+            pub = ops["pub"][pos]
+            acc = jax.lax.dynamic_slice(Fx, (pub,), (Wp * Mbt * Mbt,))
+            acc = acc.reshape(Wp, Mbt, Mbt) + jnp.tril(tpatch)
+            Fx = jax.lax.dynamic_update_slice(Fx, acc.reshape(-1), (pub,))
+        return Fx
+    return br
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _pf_program(vals, a_src, a_dst, instr, class_ops, meta, buf,
+                syrk_bf16=False):
+    fops, pops = class_ops
+    fmeta, pmeta = meta
+    Fx = jnp.zeros(buf, dtype=vals.dtype)
+    Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
+                          unique_indices=True, mode="promise_in_bounds")
+    branches = [
+        (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
+            _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16), ops)
+        for ops, (Np, Mb, W, mode, L, K) in zip(fops, fmeta)]
+    branches += [
+        (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
+            _proj_branch(Wc, Mbc, Wp, Npt, Mbt, G), ops)
+        for ops, (Wc, Mbc, Wp, Npt, Mbt, G) in zip(pops, pmeta)]
+
+    def body(Fx, xs):
+        cid, pos = xs
+        return jax.lax.switch(cid, branches, Fx, pos), None
+
+    Fx, _ = jax.lax.scan(body, Fx, instr)
+    return Fx
+
+
+def pf_numeric(vals, pfp: PFPlan, dtype, syrk_bf16=False):
+    """The full numeric factorization with pass-forward extend-add, as one
+    compiled program (cached per (pattern, dtype, syrk_bf16))."""
+    ops = pfp.arrays(dtype)
+    amaps = pfp._cache.get("amaps")
+    if amaps is None:
+        from .super_numeric import _a_sorted_maps
+        a_src, a_dst = _a_sorted_maps(pfp.plan.ss)
+        amaps = (jnp.asarray(a_src), jnp.asarray(a_dst))
+        pfp._cache["amaps"] = amaps
+    return _pf_program(jnp.asarray(vals, dtype=dtype), amaps[0], amaps[1],
+                       pfp.instr, ops, pfp.meta, pfp.buf, syrk_bf16)

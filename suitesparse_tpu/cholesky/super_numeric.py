@@ -44,12 +44,14 @@ class _Bucket:
     Np: int                 # padded column count
     Mb: int                 # padded below-row count
     base: int               # flat offset of this bucket's contiguous panels
+    W: int                  # wave batch size (instruction unit, wave.py/pf.py)
     padeye: np.ndarray      # (B, Np) 1.0 where padded diagonal row
     rowmask: np.ndarray     # (B, Np+Mb) 1.0 for real rows
     colmask: np.ndarray     # (B, Np) 1.0 for real columns
-    dest: np.ndarray        # (B, Mb, Mb) flat extend-add targets (trash pad)
     colidx: np.ndarray      # (B, Np) global column index (n = trash)
     rowidx: np.ndarray      # (B, Mb) global below-row index (n = trash)
+    _mk_dest: object = None  # lazy builder for the all-ancestor dest map
+    _dest: np.ndarray = None
     # sorted-segment extend-add: gather only the real update entries in
     # destination order and fold duplicates with a sorted segment_sum, so
     # the expensive random op shrinks from a scatter-add of B*Mb*Mb
@@ -58,6 +60,15 @@ class _Bucket:
     seg_ids: np.ndarray = None     # segment id per entry (sorted)
     seg_dst: np.ndarray = None     # unique destinations (K,)
     smaps: tuple = None            # cached solve-phase scatter maps
+
+    @property
+    def dest(self) -> np.ndarray:
+        """(B, Mb, Mb) flat extend-add targets into ALL ancestor panels
+        (trash pad).  Lazy: the pass-forward program (pf.py) never needs it,
+        and it dominated round-2 analyze time (VERDICT.md weak #4)."""
+        if self._dest is None:
+            self._dest = self._mk_dest()
+        return self._dest
 
     def segsum_maps(self, trash: int):
         if self.seg_dst is None:
@@ -91,26 +102,38 @@ class NumericPlan:
     n: int
     meta: tuple             # static shapes: per level, per bucket (Np,Mb,base,B)
     _wave: object = None    # cached WavePlan (wave.py), built on demand
+    _pf: object = None      # cached PFPlan (pf.py), built on demand
 
     @property
     def nbuckets(self) -> int:
         return sum(len(lv) for lv in self.levels)
 
-    def wave_plan(self):
-        if self._wave is None:
+    def wave_plan(self, solve_only: bool = False):
+        if self._wave is None or (self._wave.solve_only and not solve_only):
             from .wave import build_wave_plan
-            self._wave = build_wave_plan(self)
+            self._wave = build_wave_plan(self, solve_only)
         return self._wave
 
-    def use_wave(self, common=None) -> bool:
+    def pf_plan(self, common=None):
+        if self._pf is None:
+            from .pf import build_pf_plan
+            self._pf = build_pf_plan(self, common)
+        return self._pf
+
+    def resolve_program(self, common=None) -> str:
+        """Resolve Common.cholesky.program ("auto") to a concrete program."""
         cm = common or default_common()
         mode = cm.cholesky.program
         if mode == "auto":
             import os
             mode = os.environ.get("SSTPU_PROGRAM", "auto")
         if mode == "auto":
-            return self.nbuckets > cm.cholesky.wave_threshold
-        return mode == "wave"
+            return ("pf" if self.nbuckets > cm.cholesky.wave_threshold
+                    else "unrolled")
+        return mode
+
+    def use_wave(self, common=None) -> bool:
+        return self.resolve_program(common) in ("wave", "pf")
 
     def arrays(self, dtype):
         return tuple(
@@ -150,6 +173,40 @@ class NumericPlan:
         return tuple(out)
 
 
+def _bucket_dest(ss: SuperSymbolic, rows_of, sids, Np, Mb,
+                 trash: int) -> np.ndarray:
+    """All-ancestor extend-add targets for one bucket: U entry (i, c) of
+    supernode s goes to the panel of the supernode owning column r[c]
+    (vectorized over rows/columns; no per-column Python loop)."""
+    sup = ss.super
+    B = len(sids)
+    dest = np.full((B, Mb, Mb), trash, dtype=INDEX)
+    for b, s in enumerate(np.asarray(sids).tolist()):
+        ms, ns = ss.panel_shape(s)
+        mb = ms - ns
+        if not mb:
+            continue
+        r = rows_of[s][ns:]
+        t_of = ss.col_to_super[r]
+        ar = np.arange(mb)
+        for t in np.unique(t_of):
+            rows_t = rows_of[t]
+            j1_t = int(sup[t])
+            loc = np.searchsorted(rows_t, r)
+            ok = loc < len(rows_t)
+            loc_c = np.clip(loc, 0, max(len(rows_t) - 1, 0))
+            ok &= rows_t[loc_c] == r
+            frow = (int(ss.panel_off[t])
+                    + ss.norm_local(t, loc_c) * int(ss.panel_Np[t]))
+            csel = np.nonzero(t_of == t)[0]
+            d = frow[:, None] + (r[csel] - j1_t)[None, :]
+            # column validity: target col r[c] must be a column of t;
+            # rows >= that column (lower triangle)
+            valid = ok[:, None] & (ar[:, None] >= csel[None, :])
+            dest[b][:mb, csel] = np.where(valid, d, trash)
+    return dest
+
+
 def build_plan(ss: SuperSymbolic) -> NumericPlan:
     n, total = ss.n, ss.total
     trash = total
@@ -160,13 +217,12 @@ def build_plan(ss: SuperSymbolic) -> NumericPlan:
     for level_buckets in ss.level_buckets:
         buckets = []
         lvl_meta = []
-        for (Np, Mb, bbase, sids) in level_buckets:
+        for (Np, Mb, bbase, sids, W) in level_buckets:
             B = len(sids)
             Mp = Np + Mb
             padeye = np.zeros((B, Np))
             rowmask = np.zeros((B, Mp))
             colmask = np.zeros((B, Np))
-            dest = np.full((B, Mb, Mb), trash, dtype=INDEX)
             colidx = np.full((B, Np), n, dtype=INDEX)
             rowidx = np.full((B, Mb), n, dtype=INDEX)
             for b, s in enumerate(sids.tolist()):
@@ -179,28 +235,13 @@ def build_plan(ss: SuperSymbolic) -> NumericPlan:
                 colmask[b, :ns] = 1.0
                 colidx[b, :ns] = j1 + np.arange(ns)
                 if mb:
-                    r = rows_of[s][ns:]
-                    rowidx[b, :mb] = r
-                    t_of = ss.col_to_super[r]
-                    for t in np.unique(t_of):
-                        rows_t = rows_of[t]
-                        j1_t = int(sup[t])
-                        loc = np.searchsorted(rows_t, r)
-                        ok = loc < len(rows_t)
-                        loc_c = np.clip(loc, 0, max(len(rows_t) - 1, 0))
-                        ok &= rows_t[loc_c] == r
-                        # column validity: target col r[c] must be a column
-                        # of t; rows >= that column (lower triangle)
-                        for c in np.where(t_of == t)[0]:
-                            col_ok = ok & (np.arange(mb) >= c)
-                            d = (int(ss.panel_off[t])
-                                 + ss.norm_local(t, loc_c) * int(ss.panel_Np[t])
-                                 + (int(r[c]) - j1_t))
-                            dest[b, :mb, c] = np.where(col_ok, d, trash)
+                    rowidx[b, :mb] = rows_of[s][ns:]
+            mk = (lambda sids=sids, Np=Np, Mb=Mb:
+                  _bucket_dest(ss, rows_of, sids, Np, Mb, trash))
             buckets.append(_Bucket(sids=sids, Np=Np, Mb=Mb, base=int(bbase),
-                                   padeye=padeye, rowmask=rowmask,
-                                   colmask=colmask, dest=dest,
-                                   colidx=colidx, rowidx=rowidx))
+                                   W=int(W), padeye=padeye, rowmask=rowmask,
+                                   colmask=colmask, colidx=colidx,
+                                   rowidx=rowidx, _mk_dest=mk))
             lvl_meta.append((Np, Mb, int(bbase), B))
         levels_out.append(buckets)
         meta.append(tuple(lvl_meta))
@@ -441,7 +482,12 @@ def factorize_super(A: SparseCSC, sym: Symbolic, ss: SuperSymbolic,
     import os
     segsum = os.environ.get("SSTPU_EXTEND_ADD", "segsum") == "segsum"
     vals = _assemble_values(A, sym, ss, dtype)
-    if plan.use_wave(cm):
+    prog = plan.resolve_program(cm)
+    if prog == "pf":
+        from .pf import pf_numeric
+        Lx = pf_numeric(vals, plan.pf_plan(cm), dtype,
+                        cm.cholesky.syrk_bf16)
+    elif prog == "wave":
         from .wave import wave_numeric
         Lx = wave_numeric(vals, plan.wave_plan(), dtype,
                           cm.cholesky.syrk_bf16)
@@ -552,7 +598,10 @@ def solve_super(f: SuperFactor, b: np.ndarray, system: str = "A",
     perm = f.perm
     if plan.use_wave(common):
         from .wave import wave_lsolve, wave_ltsolve
-        wp = plan.wave_plan()
+        # pf factors reuse the wave solve; only the solve maps are needed
+        wp = plan.wave_plan(
+            solve_only=plan.resolve_program(common) == "pf"
+            and plan._wave is None)
         xrows = n + wp.xpad
         lsolve = lambda Lx, x: wave_lsolve(wp, Lx, x)          # noqa: E731
         ltsolve = lambda Lx, x: wave_ltsolve(wp, Lx, x)        # noqa: E731

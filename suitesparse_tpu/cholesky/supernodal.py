@@ -81,7 +81,7 @@ class SuperSymbolic:
     total: int                 # total padded panel storage (plus 1 trash slot)
     sn_parent: np.ndarray      # supernodal etree
     levels: list[np.ndarray]   # topo schedule: levels[0] = leaves ... root last
-    level_buckets: list        # per level: list of (Np, Mb, base, sids array)
+    level_buckets: list        # per level: list of (Np, Mb, base, sids, W)
     lnz_dense: int
 
     # static maps for numeric
@@ -130,6 +130,22 @@ def _pick_wave(Np: int, Mb: int, bs: list[int]) -> int:
     return max(w, 1)
 
 
+def _pick_wave_bucket(Np: int, Mb: int, B: int,
+                      mem_floats: int = 24 << 20) -> int:
+    """Per-bucket wave size: the WHOLE bucket in one instruction when the
+    panel slice fits the working-memory budget, else the largest power-of-2
+    split.  Round-2 postmortem (VERDICT.md weak #6): sizing waves off the
+    *mean* bucket size serialized data-independent panels of one level into
+    many small scan steps; one level-sized step keeps the MXU batch large."""
+    w = 1
+    while w < B:
+        w *= 2
+    panel = max((Np + Mb) * Np, 1)
+    while w > 1 and w * panel > mem_floats:
+        w //= 2
+    return max(w, 1)
+
+
 def _assign_layout(levels, shapes, ladder: str = "coarse"):
     """Bucket supernodes per level by padded shape and assign contiguous
     padded panel offsets in schedule order.
@@ -158,7 +174,9 @@ def _assign_layout(levels, shapes, ladder: str = "coarse"):
         per_level_groups.append(groups)
         for key, sids in groups.items():
             class_bs.setdefault(key, []).append(len(sids))
-    wave_w = {(Np, Mb): _pick_wave(Np, Mb, bs)
+    # per-class W kept for consumers that need one W per shape (dist.py);
+    # the layout itself reserves per-BUCKET waves (pass 2)
+    wave_w = {(Np, Mb): max(_pick_wave_bucket(Np, Mb, B) for B in bs)
               for (Np, Mb), bs in class_bs.items()}
     # pass 2: assign offsets, reserving pad space to a whole wave count
     level_buckets = []
@@ -172,10 +190,10 @@ def _assign_layout(levels, shapes, ladder: str = "coarse"):
                 panel_Np[s] = Np
                 panel_Mp[s] = Np + Mb
                 base += (Np + Mb) * Np
-            W = wave_w[(Np, Mb)]
+            W = _pick_wave_bucket(Np, Mb, len(sids))
             nwave = -(-len(sids) // W)
             base = bbase + nwave * W * (Np + Mb) * Np
-            buckets.append((Np, Mb, bbase, np.array(sids, dtype=INDEX)))
+            buckets.append((Np, Mb, bbase, np.array(sids, dtype=INDEX), W))
         level_buckets.append(buckets)
     return panel_off, panel_Np, panel_Mp, int(base), level_buckets, wave_w
 

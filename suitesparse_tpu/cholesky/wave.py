@@ -84,6 +84,7 @@ class WavePlan:
     instr_pos: np.ndarray   # (T,) position within the class stack
     buf: int                # factor buffer length (total + 1 + trash region)
     xpad: int               # extra trash rows for the solve buffer
+    solve_only: bool = False  # factor extend-add maps skipped (pf program)
     _cache: dict = dataclasses.field(default_factory=dict)
 
     @property
@@ -132,20 +133,22 @@ class WavePlan:
         return got
 
 
-def build_wave_plan(plan: NumericPlan) -> WavePlan:
+def build_wave_plan(plan: NumericPlan, solve_only: bool = False) -> WavePlan:
     """Split the per-level buckets into uniform waves and stack operands
-    per shape class.  Pure host preprocessing (runs once per pattern)."""
-    ss = plan.ss
+    per shape class.  Pure host preprocessing (runs once per pattern).
+
+    solve_only: skip the factor extend-add maps (the expensive part of this
+    builder) — used when the pass-forward program (pf.py) owns the numeric
+    phase and this plan only drives wave_lsolve/wave_ltsolve."""
     n, total = plan.n, plan.total
     trash = total
-    wave_w = getattr(ss, "wave_w", None) or {}
     # pass 1: enumerate waves in schedule order
     waves = []   # (key, dict of per-wave raw pieces)
     for lv in plan.levels:
         for b in lv:
             Np, Mb, B = b.Np, b.Mb, len(b.sids)
             Mp = Np + Mb
-            W = int(wave_w.get((Np, Mb), 1)) or 1
+            W = int(b.W)
             nw = -(-B // W)
             for w in range(nw):
                 lo, hi = w * W, min((w + 1) * W, B)
@@ -162,6 +165,7 @@ def build_wave_plan(plan: NumericPlan) -> WavePlan:
                 rowidx = np.full((W, Mb), n, dtype=INDEX)
                 if Mb:
                     rowidx[:breal] = b.rowidx[lo:hi]
+                if Mb and not solve_only:
                     src, ids, dst = scatter_add_maps(
                         b.dest[lo:hi].reshape(-1), trash)
                 else:
@@ -265,7 +269,7 @@ def build_wave_plan(plan: NumericPlan) -> WavePlan:
 
     return WavePlan(plan=plan, classes=classes, instr_cls=instr_cls,
                     instr_pos=instr_pos, buf=total + 1 + kmax,
-                    xpad=1 + xkmax)
+                    xpad=1 + xkmax, solve_only=solve_only)
 
 
 # ---------------------------------------------------------------------------
@@ -330,6 +334,8 @@ def _wave_numeric_program(vals, a_src, a_dst, instr, class_ops, meta, buf,
 
 
 def wave_numeric(vals, wp: WavePlan, dtype, syrk_bf16=False):
+    assert not wp.solve_only, \
+        "wave plan was built solve_only; rebuild with wave_plan()"
     ops = wp.arrays(dtype)
     amaps = wp._cache.get("amaps")
     if amaps is None:

@@ -57,9 +57,20 @@ class CholeskyOptions:
     # (level, bucket) — fastest at runtime for small patterns but compile
     # time is O(#buckets); "wave" compiles a lax.scan over a static
     # instruction stream with lax.switch over shape classes — compile time
-    # O(#distinct shapes), the only viable form for real patterns (see
-    # cholesky/wave.py).  "auto" picks by bucket count.
-    program: str = "auto"               # auto | unrolled | wave
+    # O(#distinct shapes); "pf" is the wave form with the pass-forward
+    # (multifrontal) MXU extend-add replacing the sorted-segment scatter
+    # (see cholesky/pf.py) — the fast path on TPU.  "auto" picks pf for
+    # real patterns and unrolled below wave_threshold buckets.
+    program: str = "auto"               # auto | unrolled | wave | pf
+    # pass-forward extend-add: per-bucket scatter-vs-project cost model
+    # (pf.py).  "auto" compares measured rates; "project"/"scatter" force.
+    pf_mode: str = "auto"
+    # measured on v5e (tools/microbench.py, round 3): element gather
+    # 0.4 GB/s, sorted+unique scatter-add 0.9 GB/s -> effective ~1.2 GB/s
+    # over the 3-pass gather/segsum/scatter chain; projection einsums run
+    # at MXU-class rates
+    pf_scatter_bw: float = 1.2e9        # measured TPU scatter class (B/s)
+    pf_proj_rate: float = 1e13          # measured projection class (FLOP/s)
     # auto threshold: use the wave program when the schedule has more
     # buckets than this (compile cost ~linear in bucket count).
     wave_threshold: int = 32

@@ -288,12 +288,15 @@ def _gp_lu_block_py(Bp, Bi, Bx, nb, tol, halt_if_singular):
             if r == pr_new:
                 continue
             jpos = int(pinv[r])
+            # keep the full symbolic reach, including exactly-zero values:
+            # gp_refactor clears x over the STORED pattern only, so a
+            # value-dropped position going nonzero under new values would
+            # leave a stale workspace entry (reference KLU keeps the reach
+            # value-independently; explicit zeros are common in circuits)
             if jpos != -1:
-                if v != 0.0:
-                    urows.append(jpos); uvals.append(v)
+                urows.append(jpos); uvals.append(v)
             else:
-                if v != 0.0:
-                    lrows.append(r); lvals.append(v / pivval)
+                lrows.append(r); lvals.append(v / pivval)
         # U entries in ascending pivot order = a valid topological order,
         # which klu_refactor's fixed-pattern forward solve relies on
         uorder = np.argsort(urows, kind="stable") if urows else []

@@ -130,7 +130,7 @@ def _assign_region(levels, shapes, mine, pad, wave_w, panel_off, panel_Np,
             W = wave_w[(Np, Mb)]
             nwave = -(-len(sids) // W)
             base = bbase + nwave * W * (Np + Mb) * Np
-            buckets.append((Np, Mb, bbase, np.array(sids, dtype=INDEX)))
+            buckets.append((Np, Mb, bbase, np.array(sids, dtype=INDEX), W))
         level_buckets.append(buckets)
     return level_buckets, base
 
@@ -213,8 +213,8 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
     for c in range(ndev):          # shift chip regions to c * Bloc
         for s in np.nonzero(owner == c)[0]:
             panel_off[s] += c * Bloc
-        chip_lb[c] = [[(Np, Mb, b + c * Bloc, sids) for (Np, Mb, b, sids)
-                       in lv] for lv in chip_lb[c]]
+        chip_lb[c] = [[(Np, Mb, b + c * Bloc, sids, W)
+                       for (Np, Mb, b, sids, W) in lv] for lv in chip_lb[c]]
     top_base = ndev * Bloc
     top_lb, total = _assign_region(ss.levels, shapes, owner == -1, pad,
                                    wave_w, panel_off, panel_Np, panel_Mp,
@@ -262,8 +262,7 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
     wave_owner = []
     for lv in plan.levels:
         for b in lv:
-            W = wave_w[(b.Np, b.Mb)]
-            nw = -(-len(b.sids) // W)
+            nw = -(-len(b.sids) // b.W)
             wave_owner.extend([int(owner[int(b.sids[0])])] * nw)
     wave_owner = np.asarray(wave_owner)
     assert len(wave_owner) == len(wp.instr_cls), "wave enumeration mismatch"
@@ -274,7 +273,7 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
     last_lv = plan.levels[-1] if plan.levels else []
     if (ndev > 1 and len(last_lv) == 1 and len(last_lv[0].sids) == 1
             and last_lv[0].Mb == 0 and last_lv[0].Np >= root_2d_min
-            and wave_w[(last_lv[0].Np, 0)] == 1
+            and last_lv[0].W == 1
             and owner[int(last_lv[0].sids[0])] == -1):
         b = last_lv[0]
         nb = root_2d_nb
@@ -309,13 +308,13 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
     top_cls = wp.instr_cls[topidx].astype(np.int32)
     top_pos = wp.instr_pos[topidx].astype(np.int32)
 
-    itemsize = 4
+    # element counts; scaled to bytes by the dtype actually factorized with
+    # (distributed_factorize) — itemsize is not known at plan time
     comm = dict(
-        dist_allgather_bytes=int(Bloc) * (ndev - 1) * itemsize,
-        dist_psum_bytes=int(Btop) * 2 * (ndev - 1) // max(ndev, 1)
-        * itemsize,
-        dist_root_bytes=(root[1] * root[1] + root[1] * root[2]
-                         * (root[1] // root[2])) * itemsize if root else 0,
+        dist_allgather_elems=int(Bloc) * (ndev - 1),
+        dist_psum_elems=int(Btop) * 2 * (ndev - 1) // max(ndev, 1),
+        dist_root_elems=(root[1] * root[1] + root[1] * root[2]
+                         * (root[1] // root[2])) if root else 0,
         dist_phase1_waves=int(sel1.sum()),
         dist_top_waves=int(len(topidx)),
         dist_ndev=ndev, dist_Bloc=int(Bloc), dist_Btop=int(Btop))
@@ -486,10 +485,17 @@ def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32,
     else:
         cm.info.update(dp.comm)
     vals = _assemble_values(A, dp.sym, dp.ss, dtype)
-    prog = dp.__dict__.setdefault("_progs", {}).get(np.dtype(dtype).name)
+    itemsize = int(np.dtype(dtype).itemsize)
+    cm.info.update({k.replace("_elems", "_bytes"): v * itemsize
+                    for k, v in dp.comm.items() if k.endswith("_elems")})
+    # key on the mesh's device set too: the program closes over the mesh,
+    # so a same-sized but different Mesh must not reuse a cached program
+    key = (np.dtype(dtype).name,
+           tuple(d.id for d in mesh.devices.flat))
+    prog = dp.__dict__.setdefault("_progs", {}).get(key)
     if prog is None:
         prog = _make_dist_program(dp, mesh, dtype)
-        dp._progs[np.dtype(dtype).name] = prog
+        dp._progs[key] = prog
     sh_r = NamedSharding(mesh, P())
     sh_b = NamedSharding(mesh, P("batch" if "batch" in mesh.axis_names
                                  else mesh.axis_names[0]))
