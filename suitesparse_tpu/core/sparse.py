@@ -452,19 +452,21 @@ def submatrix(A: SparseCSC, rows: Optional[np.ndarray], cols: Optional[np.ndarra
     cset = np.arange(A.ncol, dtype=INDEX) if cols is None else _as_index(cols)
     rmap = -np.ones(A.nrow, dtype=INDEX)
     rmap[rset] = np.arange(len(rset), dtype=INDEX)
-    pieces_i, pieces_x, counts = [], [], np.zeros(len(cset), dtype=INDEX)
-    for k, j in enumerate(cset):
-        lo, hi = A.indptr[j], A.indptr[j + 1]
-        m = rmap[A.indices[lo:hi]]
-        keep = m >= 0
-        pieces_i.append(m[keep])
-        if A.data is not None:
-            pieces_x.append(A.data[lo:hi][keep])
-        counts[k] = keep.sum()
+    # vectorized column-slice gather (no per-column Python loop)
+    starts = A.indptr[cset].astype(np.int64)
+    lens = (A.indptr[cset + 1] - A.indptr[cset]).astype(np.int64)
+    total = int(lens.sum())
+    cum = np.zeros(len(cset), dtype=np.int64)
+    np.cumsum(lens[:-1], out=cum[1:])
+    idx = np.arange(total, dtype=np.int64) + np.repeat(starts - cum, lens)
+    m = rmap[A.indices[idx]]
+    keep = m >= 0
+    colid = np.repeat(np.arange(len(cset), dtype=np.int64), lens)
+    counts = np.bincount(colid[keep], minlength=len(cset))
     indptr = np.zeros(len(cset) + 1, dtype=INDEX)
     np.cumsum(counts, out=indptr[1:])
-    indices = np.concatenate(pieces_i) if pieces_i else np.empty(0, dtype=INDEX)
-    data = (np.concatenate(pieces_x) if pieces_x else np.empty(0)) if A.data is not None else None
+    indices = m[keep].astype(INDEX)
+    data = A.data[idx][keep] if A.data is not None else None
     C = SparseCSC(indptr, indices, data, (len(rset), len(cset)))
     return C.sort_indices() if not C.sorted else C
 

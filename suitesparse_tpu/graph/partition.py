@@ -30,13 +30,13 @@ class EdgeCutOptions:
     coarsen_limit: int = 64
     target_split: float = 0.5
     tolerance: float = 0.12          # allowed imbalance
-    fm_passes: int = 6
+    fm_passes: int = 4
     random_seed: int = 0
     restarts: int = 2
     use_fm: bool = True              # Mongoose use_FM
     use_qp: bool = True              # Mongoose use_QP_gradproj
     waterdance_rounds: int = 2       # FM<->QP alternations per level
-    qp_iters: int = 30               # gradient-projection steps per call
+    qp_iters: int = 12               # gradient-projection steps per call
 
 
 @dataclasses.dataclass
@@ -153,14 +153,20 @@ def _fm_refine(G, vwt, part, tolerance, target, passes, rng):
     best_part = part.copy()
     best_cut = _cut_of(G, part)
     w0 = float(vwt[part == 0].sum())
+    rowid = np.repeat(np.arange(n), np.diff(indptr))
     for _ in range(passes):
         # vectorized gains: ext - int per vertex
-        same = part[indices] == np.repeat(part, np.diff(indptr))
+        same = part[indices] == part[rowid]
         contrib = np.where(same, -data, data)
         gains = np.zeros(n)
-        np.add.at(gains, np.repeat(np.arange(n), np.diff(indptr)), contrib)
+        np.add.at(gains, rowid, contrib)
         stamp = np.zeros(n, dtype=np.int64)   # lazy-heap version counter
-        heap = [(-gains[v], 0, v) for v in range(n)]
+        # seed the heap with BOUNDARY vertices only (any external edge) —
+        # interior vertices can never be the best first move and enter
+        # lazily when a neighbor flips (Mongoose boundary-heap behavior)
+        bnd = np.zeros(n, dtype=bool)
+        np.logical_or.at(bnd, rowid, ~same)
+        heap = [(-gains[v], 0, v) for v in np.nonzero(bnd)[0]]
         heapq.heapify(heap)
         locked = np.zeros(n, dtype=bool)
         cur_cut = best_cut
@@ -168,7 +174,7 @@ def _fm_refine(G, vwt, part, tolerance, target, passes, rng):
         pass_best_state = None
         moves_since_best = 0
         improved = False
-        while heap and moves_since_best < max(64, n // 8):
+        while heap and moves_since_best < max(64, n // 32):
             negg, ver, v = heapq.heappop(heap)
             if locked[v] or ver != stamp[v]:
                 continue
@@ -219,10 +225,9 @@ def _napsack_project(y, a, lo, hi):
         return x
     tgt = hi if s > hi else lo
     # bracket the multiplier
-    lam_lo, lam_hi = -1.0, 1.0
     scale = max(1.0, np.abs(y).max() / max(a.min(), 1e-12))
     lam_lo, lam_hi = -scale - 1.0, scale + 1.0
-    for _ in range(60):
+    for _ in range(30):
         lam = 0.5 * (lam_lo + lam_hi)
         s = a @ np.clip(y - lam * a, 0.0, 1.0)
         if s > tgt:
@@ -245,12 +250,23 @@ def _qp_gradproj(G, vwt, part, tolerance, target, iters):
     alpha = 1.0 / max(row_sums.max(), 1e-12)
     fbest = np.inf
     xbest = x
+    G1 = np.asarray(G @ np.ones(G.shape[0]))
+    stall = 0
     for _ in range(iters):
-        g = G @ (1.0 - 2.0 * x)
-        x = _napsack_project(x - alpha * g, vwt, lo_w, hi_w)
-        f = float(x @ (G @ (1.0 - x)))
+        Gx = G @ x                       # one matvec per iteration:
+        g = G1 - 2.0 * Gx                # grad = G(1-2x), f = x'G(1-x)
+        f = float(x @ G1 - x @ Gx)
         if f < fbest - 1e-12:
-            fbest, xbest = f, x.copy()
+            fbest, xbest, stall = f, x.copy(), 0
+        else:
+            stall += 1
+            if stall >= 3:
+                break
+        x = _napsack_project(x - alpha * g, vwt, lo_w, hi_w)
+    Gx = G @ x
+    f = float(x @ G1 - x @ Gx)
+    if f < fbest - 1e-12:
+        fbest, xbest = f, x
     # balanced rounding: side 1 takes the largest-x prefix whose weight
     # lands inside the budget (closest to target)
     order = np.argsort(-xbest, kind="stable")

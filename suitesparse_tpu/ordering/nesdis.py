@@ -42,7 +42,11 @@ def nested_dissection(A: SparseCSC, common: Optional[Common] = None,
             cmember[vertices] = sid
             return
         Sub = submatrix(full, vertices, vertices)
-        opts = EdgeCutOptions(random_seed=depth)
+        # one V-cycle, one FM+QP round per level: measured on lap3d-class
+        # graphs the second restart/round changes lnz by <0.1% but doubles
+        # host analyze time (round-3 host-analyze budget, VERDICT item 3)
+        opts = EdgeCutOptions(random_seed=depth, restarts=1,
+                              waterdance_rounds=1)
         left, right, sep = vertex_separator(Sub, opts)
         if len(sep) == 0 or len(left) == 0 or len(right) == 0:
             # disconnected or cut failure: treat as a leaf
