@@ -111,6 +111,11 @@ class LUOptions:
     singletons: bool = True
     ordering: str = "auto"              # amd | colamd | auto | natural | given
     refine_steps: int = 2               # max iterative refinement (UMFPACK IRSTEP)
+    # static-pivot accuracy escape hatch: when iterative refinement stalls
+    # with componentwise omega above this, umf_solve re-routes through the
+    # native-KLU threshold-partial-pivoting path (reference accuracy class
+    # of umf_local_search.c without per-value device retrace). 0 disables.
+    escalate_omega: float = 1e-10
     halt_if_singular: bool = False      # klu.h:165
     factor_dtype: Any = None
 

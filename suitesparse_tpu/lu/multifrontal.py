@@ -600,6 +600,38 @@ def _lu_tsolve_impl(Lb, Ub, x, pivs, level_arrays, meta, conj=False):
     return _lu_ltsolve_impl(Lb, x, pivs, level_arrays, meta, conj)
 
 
+def _klu_escalate(num, A, bk, system, cm):
+    """Accuracy escape hatch (ACCURACY.md, VERDICT round-2 item 5): when
+    iterative refinement stalls above cm.lu.escalate_omega, the static
+    row-pivot order cannot reach the reference's threshold-partial-pivoting
+    accuracy class (umf_local_search.c), so re-solve through the native KLU
+    Gilbert-Peierls path whose pivoting is value-dependent.  The KLU factor
+    is cached on the numeric object; refactors with the same numeric object
+    reuse it only if values are unchanged, so callers passing new values
+    build a new UmfNumeric (the normal umf_numeric flow).
+    Returns x or None when this system cannot be escalated."""
+    is_c = np.issubdtype(np.dtype(num.dtype), np.complexfloating)
+    if system == "A":
+        transpose = False
+    elif system in ("At", "Aat") and not is_c:
+        transpose = True
+    else:
+        return None
+    from . import klu as _klu
+    cached = getattr(num, "_klu_esc", None)
+    if cached is None:
+        sy = _klu.klu_analyze(A, cm)
+        nu = _klu.klu_factor(A, sy, cm)
+        cached = nu
+        try:
+            num._klu_esc = nu
+        except Exception:
+            pass
+    x = _klu.klu_solve(cached, bk, transpose=transpose)
+    cm.info["umf_escalated"] = True
+    return x.reshape(bk.shape)
+
+
 def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
               refine: Optional[int] = None, A: Optional[SparseCSC] = None,
               common: Optional[Common] = None) -> np.ndarray:
@@ -656,6 +688,11 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
                 if omega < 1e-14:
                     break
                 x = x + solve_fn(r)
+            esc = cm.lu.escalate_omega
+            if esc and not best_omega <= esc:
+                x2 = _klu_escalate(num, A, bk, system, cm)
+                if x2 is not None:
+                    x = x2
         return x.reshape(-1) if one_d else x
 
     la = _solve_arrays(S, num.dtype)
@@ -756,6 +793,11 @@ def umf_solve(num: UmfNumeric, b: np.ndarray, system: str = "A",
             if omega < 1e-14:
                 break
             x = x + solve_fn(r)
+        esc = cm.lu.escalate_omega
+        if esc and not best_omega <= esc:
+            x2 = _klu_escalate(num, A, bk, system, cm)
+            if x2 is not None:
+                x = x2
     return x.reshape(-1) if one_d else x
 
 

@@ -331,3 +331,54 @@ class TestUmfSingletons:
         num = umf_numeric(A, umf_symbolic(A))
         with pytest.raises(SparseError):
             umf_solve(num, np.ones(60), system="L")
+
+
+class TestEscalation:
+    """Omega-triggered KLU escalation (the accuracy escape hatch for the
+    static-pivot design; reference accuracy class umf_local_search.c)."""
+
+    def test_west0479_escalates_to_reference_accuracy(self):
+        from suitesparse_tpu.core.common import default_common
+        from suitesparse_tpu.io.fixtures import load
+        A = load("west0479")
+        Ssc = A.to_scipy()
+        b = np.asarray(Ssc @ np.ones(A.ncol)).ravel()
+        # the stalling regime: no singleton/BTF pruning, f32 factor
+        cm = default_common()
+        cm.lu.singletons = False
+        S = umf_symbolic(A, cm)
+        N = umf_numeric(A, S, cm, dtype=np.float32)
+        x = umf_solve(N, b, "A", A=A, common=cm)
+        r = b - Ssc @ x
+        comp = np.abs(r) / np.maximum(np.abs(Ssc) @ np.abs(x) + np.abs(b),
+                                      1e-300)
+        assert cm.info.get("umf_escalated") is True
+        assert comp.max() < 1e-10
+        assert np.abs(x - 1).max() < 1e-8
+
+    def test_no_escalation_when_refinement_converges(self):
+        from suitesparse_tpu.core.common import default_common
+        from suitesparse_tpu.io.fixtures import load
+        A = load("west0067")
+        cm = default_common()
+        S = umf_symbolic(A, cm)
+        N = umf_numeric(A, S, cm)
+        b = np.ones(A.ncol)
+        x = umf_solve(N, b, "A", A=A, common=cm)
+        assert cm.info.get("umf_escalated") is None
+        assert np.linalg.norm(A.to_scipy() @ x - b, np.inf) < 1e-10
+
+    def test_default_btf_path_meets_target_without_escalation(self):
+        from suitesparse_tpu.core.common import default_common
+        from suitesparse_tpu.io.fixtures import load
+        A = load("west0479")
+        Ssc = A.to_scipy()
+        b = np.asarray(Ssc @ np.ones(A.ncol)).ravel()
+        cm = default_common()
+        S = umf_symbolic(A, cm)
+        N = umf_numeric(A, S, cm)
+        x = umf_solve(N, b, "A", A=A, common=cm)
+        r = b - Ssc @ x
+        comp = np.abs(r) / np.maximum(np.abs(Ssc) @ np.abs(x) + np.abs(b),
+                                      1e-300)
+        assert comp.max() < 1e-10
