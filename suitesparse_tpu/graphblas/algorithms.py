@@ -100,11 +100,10 @@ def bfs_levels(A, source: int, method: str = "device") -> np.ndarray:
     n = Ac.shape[0]
     if method == "device":
         rows, cols, _ = _coo_arrays(Ac)
-        return np.asarray(_bfs_device(rows, cols, n, source),
-                          dtype=np.int64)
+        return np.asarray(_bfs_device(rows, cols, n, source))  # int32
     # push over hypersparse frontier: walk CSR rows of the frontier only
     S = Ac.to_scipy().tocsr()
-    level = np.full(n, -1, dtype=np.int64)
+    level = np.full(n, -1, dtype=np.int32)
     level[source] = 0
     frontier_idx = np.array([source], dtype=np.int64)   # hypersparse vector
     depth = 0

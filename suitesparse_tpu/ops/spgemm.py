@@ -54,14 +54,25 @@ def _seg_sorted(name: str):
         fn = base[name]
         return lambda d, s, n: fn(d, s, num_segments=n,
                                   indices_are_sorted=True)
+    # dtype-true logical reductions: nonzero = true, result in the input
+    # dtype (integer/bool semiring semantics, no float casts)
     if name == "lor":
-        return lambda d, s, n: jax.ops.segment_max(
-            d.astype(jnp.float32), s, num_segments=n,
-            indices_are_sorted=True) > 0
+        return lambda d, s, n: (jax.ops.segment_max(
+            (d != 0).astype(jnp.int32), s, num_segments=n,
+            indices_are_sorted=True) > 0).astype(d.dtype)
     if name == "land":
-        return lambda d, s, n: jax.ops.segment_min(
-            d.astype(jnp.float32), s, num_segments=n,
-            indices_are_sorted=True) > 0
+        return lambda d, s, n: (jax.ops.segment_min(
+            (d != 0).astype(jnp.int32), s, num_segments=n,
+            indices_are_sorted=True) > 0).astype(d.dtype)
+    if name == "lxor":
+        return lambda d, s, n: (jax.ops.segment_sum(
+            (d != 0).astype(jnp.int32), s, num_segments=n,
+            indices_are_sorted=True) % 2).astype(d.dtype)
+    # registered/user monoids: generic fold through the catalog entry
+    from ..graphblas.core import MONOIDS
+    if name in MONOIDS:
+        red = MONOIDS[name].segment_reduce
+        return lambda d, s, n: red(d, s, n)
     raise KeyError(name)
 
 

@@ -1,6 +1,7 @@
 """GraphBLAS-lite tests — oracle = dense numpy (the reference's
 MATLAB-oracle pattern, GraphBLAS/Test, SURVEY.md §4.3)."""
 import numpy as np
+import jax.numpy as jnp
 import pytest
 import scipy.sparse as sp
 
@@ -411,3 +412,102 @@ class TestSerialize:
         from suitesparse_tpu.core.status import SparseError
         with pytest.raises((SparseError, Exception)):
             matrix_deserialize(b"\x10\x00\x00\x00\x00\x00\x00\x00garbage!!!")
+
+
+class TestTypedOps:
+    """Round-3: dtype-true semiring semantics (no float casts), user-defined
+    op registration, and sparse-mask complement without dense detours."""
+
+    def _graph(self, n=40, seed=3):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(seed)
+        S = sp.random(n, n, 0.12, random_state=rng, format="csc",
+                      data_rvs=lambda k: rng.integers(1, 9, k).astype(float))
+        return SparseCSC.from_scipy(S.tocsc())
+
+    def test_integer_semiring_stays_integer(self):
+        from suitesparse_tpu.graphblas import core as g
+        A = self._graph()
+        Ai = SparseCSC(A.indptr, A.indices, A.data.astype(np.int32), A.shape)
+        C = g.mxm(Ai, Ai, "plus_times")
+        assert np.issubdtype(C.data.dtype, np.integer)
+        ref = (A.to_scipy().astype(np.int64) @ A.to_scipy().astype(np.int64))
+        Cs = C.to_scipy().astype(np.int64)
+        assert (abs(Cs - ref) > 0).nnz == 0
+
+    def test_lor_land_true_semantics_on_negatives(self):
+        from suitesparse_tpu.graphblas import core as g
+        # -1 must count as TRUE (the float-cast bug was a > 0)
+        a = jnp.asarray(np.array([-1.0, 0.0, 2.0]))
+        b = jnp.asarray(np.array([0.0, 0.0, -3.0]))
+        assert list(np.asarray(g.BINOPS["lor"](a, b))) == [1.0, 0.0, 1.0]
+        assert list(np.asarray(g.BINOPS["land"](a, b))) == [0.0, 0.0, 1.0]
+
+    def test_typed_identities(self):
+        from suitesparse_tpu.graphblas.core import MONOIDS
+        assert MONOIDS["min"].identity_for(np.int32) == np.iinfo(np.int32).max
+        assert MONOIDS["max"].identity_for(np.int8) == np.iinfo(np.int8).min
+        assert MONOIDS["lor"].identity_for(np.bool_) is False
+        assert MONOIDS["land"].identity_for(np.bool_) is True
+        assert MONOIDS["plus"].identity_for(np.float32) == np.float32(0)
+
+    def test_user_registered_semiring(self):
+        from suitesparse_tpu.graphblas import core as g
+        g.register_binop("absdiff", lambda a, b: jnp.abs(a - b))
+        g.register_semiring("max_absdiff", "max", "absdiff")
+        A = self._graph(20, seed=5)
+        C = g.mxm(A, A, "max_absdiff")
+        # oracle: dense max-plus style computation
+        Ad = A.to_scipy().toarray()
+        n = Ad.shape[0]
+        ref = np.zeros((n, n))
+        pat = (Ad != 0)
+        for i in range(n):
+            for j in range(n):
+                ks = np.nonzero(pat[i] & pat[:, j])[0]
+                if len(ks):
+                    ref[i, j] = np.abs(Ad[i, ks] - Ad[ks, j]).max()
+        got = C.to_scipy().toarray()
+        assert np.allclose(got, ref)
+
+    def test_bitwise_semiring(self):
+        from suitesparse_tpu.graphblas import core as g
+        A = self._graph(16, seed=7)
+        Ai = SparseCSC(A.indptr, A.indices, A.data.astype(np.int32), A.shape)
+        C = g.mxm(Ai, Ai, "bor_band")
+        Ad = Ai.to_scipy().toarray().astype(np.int32)
+        n = Ad.shape[0]
+        pat = Ad != 0
+        ref = np.zeros((n, n), np.int32)
+        for i in range(n):
+            for j in range(n):
+                ks = np.nonzero(pat[i] & pat[:, j])[0]
+                acc = 0
+                for k in ks:
+                    acc |= int(Ad[i, k]) & int(Ad[k, j])
+                ref[i, j] = acc
+        assert np.array_equal(C.to_scipy().toarray().astype(np.int32), ref)
+
+    def test_complement_mask_no_dense(self):
+        from suitesparse_tpu.graphblas import core as g
+        from suitesparse_tpu.graphblas.objects import Descriptor
+        A = self._graph(50, seed=9)
+        mask = self._graph(50, seed=11)
+        desc = Descriptor(mask_complement=True)
+        C = g.ewise_mult(A, A, "times", mask=mask, desc=desc)
+        ref = A.to_scipy().multiply(A.to_scipy()).tocsc()
+        mk = (mask.to_scipy() != 0).toarray()
+        ref = ref.multiply(~mk).tocsc()
+        assert abs(C.to_scipy() - ref).nnz == 0
+
+    def test_bfs_levels_int32(self):
+        from suitesparse_tpu.graphblas.algorithms import bfs_levels
+        A = self._graph(60, seed=13)
+        S = A.to_scipy()
+        Ssym = ((S + S.T) != 0).astype(float).tocsc()
+        lev = bfs_levels(SparseCSC.from_scipy(Ssym), 0, method="device")
+        assert lev.dtype == np.int32
+        import scipy.sparse.csgraph as cg
+        d = cg.shortest_path(Ssym, unweighted=True, indices=0)
+        ref = np.where(np.isinf(d), -1, d).astype(np.int32)
+        assert np.array_equal(lev, ref)

@@ -66,6 +66,26 @@ class TestSemiringSweep:
 
     @pytest.mark.parametrize("binop", BINOP_LIST)
     def test_plus_all_binops(self, binop):
+        if binop in ("band", "bor", "bxor"):
+            # bitwise ops are integer-typed (GraphBLAS defines them on
+            # (u)ints only); sweep them on an int32 copy of the operands
+            import scipy.sparse as sp
+            Ai = SparseCSC.from_scipy(
+                sp.csc_matrix(self.Ad.astype(np.int32)))
+            Bi = SparseCSC.from_scipy(
+                sp.csc_matrix(self.Bd.astype(np.int32)))
+            C = spgemm(Ai, Bi, f"plus_{binop}").to_scipy().toarray()
+            mult = BINOPS[binop]
+            import jax.numpy as jnp
+            Adi, Bdi = self.Ad.astype(np.int32), self.Bd.astype(np.int32)
+            pat = (Adi != 0)[:, :, None] & (Bdi != 0)[None, :, :]
+            T = np.asarray(mult(jnp.asarray(Adi[:, :, None]),
+                                jnp.asarray(Bdi[None, :, :])))
+            ref = np.where(pat, T, 0).sum(axis=1)
+            present = pat.any(axis=1)
+            assert np.array_equal(np.where(present, C.astype(np.int64), 0),
+                                  np.where(present, ref.astype(np.int64), 0))
+            return
         C = spgemm(self.A, self.B, f"plus_{binop}").to_scipy().toarray()
         ref, present = _dense_oracle(self.Ad, self.Bd, "plus", binop)
         assert np.allclose(np.where(present, C.astype(float), 0.0), ref,
