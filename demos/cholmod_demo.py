@@ -10,16 +10,16 @@ import sys
 import numpy as np
 
 
-def main(name="lap2d32"):
+def main(name="bcsstk01"):
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     from suitesparse_tpu.cholesky import (analyze, factorize_simplicial,
                                           residual_norm, solve)
     from suitesparse_tpu.core.common import default_common
-    from suitesparse_tpu.io import generators
+    from suitesparse_tpu.io.fixtures import load
 
-    A = generators.laplacian_2d(32)
+    A = load(name)              # genuine reference fixture (HB collection)
     n = A.ncol
     cm = default_common()
     sym = analyze(A, cm)

@@ -17,10 +17,10 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    from suitesparse_tpu.io import generators
+    from suitesparse_tpu.io.fixtures import load
     from suitesparse_tpu.models import csparse as cs
 
-    A = generators.random_unsym(120, 0.05, seed=7)
+    A = load("west0067")        # genuine fixture (CSparse demo family)
     n = A.ncol
     d = cs.cs_dmperm(A)
     print(f"cs_demo: n {n} nnz {A.nnz} blocks {len(d.r) - 1} "
@@ -30,7 +30,7 @@ def main():
     print(f"lusol   resid {_resid(A, x, b):.1e}")
     x = cs.cs_qrsol(A, b, order=3)
     print(f"qrsol   resid {_resid(A, x, b):.1e}")
-    S = generators.laplacian_2d(12)
+    S = load("bcsstk01")
     bs = np.ones(S.ncol)
     xs = cs.cs_cholsol(S, bs, order=1)
     print(f"cholsol resid {_resid(S, xs, bs):.1e}")

@@ -11,9 +11,9 @@ def main():
     jax.config.update("jax_enable_x64", True)
     from suitesparse_tpu.graphblas import (bfs_levels, pagerank,
                                            triangle_count, mxm, semiring)
-    from suitesparse_tpu.io import generators
+    from suitesparse_tpu.io.fixtures import load
 
-    A = generators.laplacian_2d(8)   # 8x8 grid graph (as pattern)
+    A = load("bcspwr10")        # genuine fixture: US power network graph
     from suitesparse_tpu.core.sparse import SparseCSC
     S = A.to_full_storage().to_scipy()
     S.setdiag(0)

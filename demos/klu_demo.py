@@ -10,13 +10,14 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     from suitesparse_tpu.core.sparse import SparseCSC
-    from suitesparse_tpu.io import generators
+    from suitesparse_tpu.io.fixtures import load
     from suitesparse_tpu.lu import (klu_analyze, klu_condest, klu_factor,
                                     klu_rcond, klu_refactor, klu_rgrowth,
                                     klu_solve)
 
-    for name, A in [("circuit400", generators.circuit_like(400, seed=3)),
-                    ("unsym250", generators.random_unsym(250, 0.02, seed=4))]:
+    # genuine matrices from the reference's own KLU/Matrix demo set
+    for name, A in [("impcol_a", load("impcol_a")),
+                    ("west0067", load("west0067"))]:
         n = A.ncol
         sym = klu_analyze(A)
         print(f"{name}: n {n} nnz {A.nnz} nblocks {sym.nblocks} "

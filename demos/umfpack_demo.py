@@ -10,11 +10,11 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     from suitesparse_tpu.core.common import default_common
-    from suitesparse_tpu.io import generators
+    from suitesparse_tpu.io.fixtures import load
     from suitesparse_tpu.lu import (umf_determinant, umf_lunz, umf_numeric,
                                     umf_solve, umf_symbolic)
 
-    A = generators.random_unsym(200, 0.03, seed=9)
+    A = load("west0067")        # genuine fixture (UMFPACK west-family demo)
     n = A.ncol
     cm = default_common()
     sym = umf_symbolic(A, cm)
