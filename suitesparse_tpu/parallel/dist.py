@@ -8,26 +8,33 @@ and SPQR's task tree, spqr_analyze.cpp:50-58):
    into >= ndev independent subtrees by repeatedly opening the heaviest
    subtree; subtrees are LPT-assigned to chips by flop weight.  Supernodes
    above the subtree roots form the shared *top* phase.
-2. **Owner-contiguous layout**: the flat panel buffer is re-laid-out as
-   ``[chip0 | chip1 | ... | top | trash | scratch]`` — each chip's panels
-   contiguous, so the phase boundary is ONE all_gather.
+2. **Owner-contiguous layout**: panels are laid out
+   ``[chip0 | chip1 | ... | top | trash | scratch]``; each chip
+   materializes ONLY ``[own region | top | trash]`` — per-chip memory is
+   O(total/ndev + top), NOT O(total) (round-3 re-architecture; round 2
+   replicated the whole buffer on every chip).  Global offsets rebase to
+   local coordinates in-program: ``x - d*Bloc`` below the top, a constant
+   shift above it (etree closure guarantees a chip only ever touches its
+   own region, the top, or trash).
 3. **Phase 1 — zero communication**: one shard_map program in which every
    chip scans ITS OWN wave instruction stream (instructions are sharded
    data; the scan body — a lax.switch over shape classes — is identical
-   SPMD code).  A subtree's extend-adds stay inside the chip's region or
-   land in the top region of its local accumulator.
-4. **Phase boundary — exactly two collectives**: all_gather of the
-   owner-computed panel regions + psum of the top-region contributions.
+   SPMD code).
+4. **Phase boundary — exactly ONE collective**: psum of the top-region
+   contributions (the round-2 all_gather of whole regions is gone; the
+   factor STAYS sharded).
 5. **Phase 2 — top/separator phase**: the (small) shared top is scanned
-   replicated (zero additional communication); a lone large root front is
-   peeled off and factored with a column-block-cyclic fan-out POTRF inside
-   the SAME jitted program — per-panel psum broadcast, trailing updates
-   split over chips by block column (the in-program form of
-   parallel/block_cyclic.py).
+   replicated; a lone large root front is peeled off and factored with a
+   column-block-cyclic fan-out POTRF inside the SAME jitted program.
 
-The whole factorization is ONE compiled program: no per-bucket retrace, no
-host round-trips, and per-phase communication volumes are logged in
-``Common.info`` (dist_allgather_bytes / dist_psum_bytes / dist_root_bytes).
+The solve is distributed too (``DistFactor.solve``): forward = per-chip
+subtree lsolve (sharded panels, replicated x) + one psum of the x delta +
+replicated top lsolve; backward mirrors it.  Communication per solve is
+two (n x k) psums regardless of factor size.
+
+Everything is ONE compiled program per phase; per-phase communication
+volumes are logged in ``Common.info`` (dist_psum_bytes / dist_root_bytes /
+dist_solve_psum_bytes).
 """
 from __future__ import annotations
 
@@ -149,11 +156,15 @@ class DistPlan:
     Bloc: int                  # per-chip region length
     top_base: int
     Btop: int                  # top-region length
-    buf: int                   # total device buffer (wp.buf + nop scratch)
+    buf: int                   # GLOBAL buffer length (wp.buf + nop scratch)
+    lbuf: int                  # per-chip LOCAL buffer: own + top + trash
     instr_cls: np.ndarray      # (ndev, T1) per-chip phase-1 instructions
     instr_pos: np.ndarray
-    top_cls: np.ndarray        # (T2,) shared top instructions
+    top_cls: np.ndarray        # (T2,) shared top instructions (root peeled)
     top_pos: np.ndarray
+    top_solve_cls: np.ndarray  # top waves incl. the peeled root (solve)
+    top_solve_pos: np.ndarray
+    a_dst_local: np.ndarray    # (ndev, nnz) per-chip local A targets
     nop_cls: int
     root: Optional[tuple]      # (base, Np, nb, padeye) for the 2D root
     comm: dict
@@ -307,23 +318,47 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
     topidx = np.nonzero((wave_owner < 0) & top_keep)[0]
     top_cls = wp.instr_cls[topidx].astype(np.int32)
     top_pos = wp.instr_pos[topidx].astype(np.int32)
+    # the solve needs EVERY top wave including a peeled 2D root (the root
+    # panel is a plain factored panel by solve time)
+    topidx_s = np.nonzero(wave_owner < 0)[0]
+    top_solve_cls = wp.instr_cls[topidx_s].astype(np.int32)
+    top_solve_pos = wp.instr_pos[topidx_s].astype(np.int32)
+
+    # per-chip LOCAL buffer [own | top | trash/scratch]: every global
+    # offset >= top_base shifts down by (ndev-1)*Bloc, own-region offsets
+    # by c*Bloc — so lbuf is simply buf - (ndev-1)*Bloc
+    lbuf = int(buf) - (ndev - 1) * int(Bloc)
+    # per-chip A-assembly targets in local coordinates; entries outside
+    # [own | top] point past lbuf and are DROPPED by the device scatter
+    from ..cholesky.super_numeric import _a_sorted_maps
+    a_src, a_dst = _a_sorted_maps(ss2)
+    a_dst = np.asarray(a_dst)
+    adl = np.empty((ndev, len(a_dst)), dtype=np.int64)
+    in_top = a_dst >= top_base
+    for c in range(ndev):
+        own = (a_dst >= c * Bloc) & (a_dst < (c + 1) * Bloc)
+        adl[c] = np.where(own, a_dst - c * Bloc,
+                          np.where(in_top, a_dst - (ndev - 1) * Bloc, lbuf))
 
     # element counts; scaled to bytes by the dtype actually factorized with
     # (distributed_factorize) — itemsize is not known at plan time
     comm = dict(
-        dist_allgather_elems=int(Bloc) * (ndev - 1),
         dist_psum_elems=int(Btop) * 2 * (ndev - 1) // max(ndev, 1),
         dist_root_elems=(root[1] * root[1] + root[1] * root[2]
                          * (root[1] // root[2])) if root else 0,
+        dist_solve_psum_elems=2 * n * 2 * (ndev - 1) // max(ndev, 1),
         dist_phase1_waves=int(sel1.sum()),
         dist_top_waves=int(len(topidx)),
-        dist_ndev=ndev, dist_Bloc=int(Bloc), dist_Btop=int(Btop))
+        dist_ndev=ndev, dist_Bloc=int(Bloc), dist_Btop=int(Btop),
+        dist_lbuf=int(lbuf))
     cm.info.update(comm)
     return DistPlan(ss=ss2, plan=plan, wp=wp, sym=sym, owner=owner,
                     ndev=ndev, Bloc=int(Bloc), top_base=int(top_base),
-                    Btop=int(Btop), buf=int(buf), instr_cls=instr_cls,
+                    Btop=int(Btop), buf=int(buf), lbuf=lbuf,
+                    instr_cls=instr_cls,
                     instr_pos=instr_pos, top_cls=top_cls, top_pos=top_pos,
-                    nop_cls=nop_cls, root=root, comm=comm)
+                    top_solve_cls=top_solve_cls, top_solve_pos=top_solve_pos,
+                    a_dst_local=adl, nop_cls=nop_cls, root=root, comm=comm)
 
 
 def _nop_extended_ops(dp: DistPlan, dtype):
@@ -404,65 +439,311 @@ def _root_fanout(Lx, root, ndev, axis, dtype):
     return jax.lax.dynamic_update_slice(Lx, L.reshape(-1), (base,))
 
 
+def _loc(x, d, top_base, Bloc, ndev):
+    """Global buffer offset -> chip-local offset (module docstring §2)."""
+    return jnp.where(x < top_base, x - d * Bloc, x - (ndev - 1) * Bloc)
+
+
+def _dist_numeric_branch(Np, Mb, W, L, K, dp):
+    """wave._numeric_branch with global->local offset rebasing (the only
+    difference: base and extend-add destinations pass through _loc)."""
+    Mp = Np + Mb
+    top_base, Bloc, ndev = dp.top_base, dp.Bloc, dp.ndev
+
+    def br(Lx, pos, ops, d):
+        base = _loc(ops["base"][pos], d, top_base, Bloc, ndev)
+        pe = ops["padeye"][pos]
+        rm = ops["rowmask"][pos]
+        cmk = ops["colmask"][pos]
+        P_ = jax.lax.dynamic_slice(Lx, (base,), (W * Mp * Np,))
+        P_ = P_.reshape(W, Mp, Np)
+        T = P_[:, :Np, :]
+        Tfull = T + jnp.tril(T, -1).transpose(0, 2, 1)
+        Tfull = Tfull + jax.vmap(jnp.diag)(pe)
+        C = jnp.linalg.cholesky(Tfull)
+        if Mb:
+            Bm = P_[:, Np:, :]
+            Bm = jax.lax.linalg.triangular_solve(
+                C, Bm, left_side=False, lower=True, transpose_a=True)
+            U = jnp.einsum("bik,bjk->bij", Bm, Bm,
+                           preferred_element_type=Lx.dtype)
+            newP = jnp.concatenate([C, Bm], axis=1)
+        else:
+            newP = C
+        newP = newP * rm[:, :, None] * cmk[:, None, :]
+        Lx = jax.lax.dynamic_update_slice(Lx, newP.reshape(-1), (base,))
+        if Mb and L:
+            u = U.reshape(-1)[ops["src"][pos]]
+            seg = jax.ops.segment_sum(u, ops["ids"][pos], num_segments=K,
+                                      indices_are_sorted=True)
+            dst = _loc(ops["dst"][pos], d, top_base, Bloc, ndev)
+            Lx = Lx.at[dst].add(-seg, indices_are_sorted=True,
+                                unique_indices=True,
+                                mode="promise_in_bounds")
+        return Lx
+    return br
+
+
+def _dist_solve_branch(Np, Mb, W, CL, CK, RL, RK, dp, transpose):
+    """wave solve branches with local panel offsets (x stays global)."""
+    Mp = Np + Mb
+    top_base, Bloc, ndev = dp.top_base, dp.Bloc, dp.ndev
+
+    def br(args, pos, ops, d):
+        Lx, x = args
+        base = _loc(ops["base"][pos], d, top_base, Bloc, ndev)
+        pe = ops["padeye"][pos]
+        P_ = jax.lax.dynamic_slice(Lx, (base,), (W * Mp * Np,))
+        P_ = P_.reshape(W, Mp, Np)
+        C = P_[:, :Np, :] + jax.vmap(jnp.diag)(pe)
+        k = x.shape[-1]
+        if not transpose:
+            xc = x[ops["colidx"][pos]]
+            xc = jax.lax.linalg.triangular_solve(C, xc, left_side=True,
+                                                 lower=True)
+            x = x.at[ops["c_dst"][pos]].set(
+                xc.reshape(-1, k)[ops["c_src"][pos]],
+                indices_are_sorted=True, unique_indices=True,
+                mode="promise_in_bounds")
+            if Mb and RL:
+                Bm = P_[:, Np:, :]
+                upd = jnp.einsum("bmc,bck->bmk", Bm, xc,
+                                 preferred_element_type=x.dtype)
+                u = upd.reshape(-1, k)[ops["r_src"][pos]]
+                seg = jax.ops.segment_sum(u, ops["r_ids"][pos],
+                                          num_segments=RK,
+                                          indices_are_sorted=True)
+                x = x.at[ops["r_dst"][pos]].add(
+                    -seg, indices_are_sorted=True, unique_indices=True,
+                    mode="promise_in_bounds")
+        else:
+            xc = x[ops["colidx"][pos]]
+            if Mb:
+                Bm = P_[:, Np:, :]
+                xr = x[ops["rowidx"][pos]]
+                xc = xc - jnp.einsum("bmc,bmk->bck", Bm, xr,
+                                     preferred_element_type=x.dtype)
+            xc = jax.lax.linalg.triangular_solve(C, xc, left_side=True,
+                                                 lower=True,
+                                                 transpose_a=True)
+            x = x.at[ops["c_dst"][pos]].set(
+                xc.reshape(-1, k)[ops["c_src"][pos]],
+                indices_are_sorted=True, unique_indices=True,
+                mode="promise_in_bounds")
+        return (Lx, x)
+    return br
+
+
 def _make_dist_program(dp: DistPlan, mesh: Mesh, dtype):
-    from ..cholesky.wave import _numeric_branch
     axis = mesh.axis_names[0]
     ndev = dp.ndev
     ops = _nop_extended_ops(dp, dtype)
     meta = dp.wp.meta
     branches = [
-        (lambda brf, o: (lambda Lx, pos: brf(Lx, pos, o)))(
-            _numeric_branch(Np, Mb, W, L, K, False), o)
+        (lambda brf, o: (lambda Lx, pos, d: brf(Lx, pos, o, d)))(
+            _dist_numeric_branch(Np, Mb, W, L, K, dp), o)
         for o, (Np, Mb, W, L, K, *_r) in zip(ops, meta)]
     from ..cholesky.super_numeric import _a_sorted_maps
-    a_src, a_dst = _a_sorted_maps(dp.ss)
+    a_src, _ = _a_sorted_maps(dp.ss)
     a_src = jnp.asarray(a_src)
-    a_dst = jnp.asarray(a_dst)
-    instr1 = (jnp.asarray(dp.instr_cls), jnp.asarray(dp.instr_pos))
     instr2 = (jnp.asarray(dp.top_cls), jnp.asarray(dp.top_pos))
-    Bloc, top_base, Btop, buf = dp.Bloc, dp.top_base, dp.Btop, dp.buf
+    Bloc, Btop, lbuf = dp.Bloc, dp.Btop, dp.lbuf
     root = dp.root
 
-    def scan_waves(Lx, cls, pos):
+    def scan_waves(Lx, cls, pos, d):
         def body(Lx, xs):
             cid, p = xs
-            return jax.lax.switch(cid, branches, Lx, p), None
+            return jax.lax.switch(cid, branches, Lx, p, d), None
         Lx, _ = jax.lax.scan(body, Lx, (cls, pos))
         return Lx
 
     @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(P(), P(axis), P(axis)), out_specs=P(),
+                       in_specs=(P(), P(axis), P(axis), P(axis)),
+                       out_specs=(P(axis), P()),
                        check_vma=False)
-    def program(vals, cls1, pos1):
-        init = jnp.zeros(buf, dtype=dtype)
-        init = init.at[a_dst].set(vals[a_src], indices_are_sorted=True,
-                                  unique_indices=True,
-                                  mode="promise_in_bounds")
-        # phase 1: private subtree scan (zero communication)
-        Lx = scan_waves(init, cls1[0], pos1[0])
-        delta = Lx - init
+    def program(vals, adl, cls1, pos1):
         d = jax.lax.axis_index(axis)
-        own = jax.lax.dynamic_slice(delta, (d * Bloc,), (Bloc,)) \
-            if Bloc else jnp.zeros((0,), dtype=dtype)
-        gathered = jax.lax.all_gather(own, axis)          # (ndev, Bloc)
-        topd = jax.lax.dynamic_slice(delta, (top_base,), (Btop,)) \
-            if Btop else jnp.zeros((0,), dtype=dtype)
-        topsum = jax.lax.psum(topd, axis)
-        merged = init
-        if Bloc:
-            merged = jax.lax.dynamic_update_slice(
-                merged, gathered.reshape(-1) + init[:ndev * Bloc], (0,))
+        # local buffer [own | top | trash]; out-of-region A targets point
+        # past lbuf and are dropped
+        init = jnp.zeros(lbuf, dtype=dtype)
+        init = init.at[adl[0]].set(vals[a_src], mode="drop")
+        # phase 1: private subtree scan (zero communication)
+        Lx = scan_waves(init, cls1[0], pos1[0], d)
+        # phase boundary: ONE psum of the top-region contributions
         if Btop:
-            merged = jax.lax.dynamic_update_slice(
-                merged, topsum + init[top_base:top_base + Btop],
-                (top_base,))
+            topd = jax.lax.dynamic_slice(Lx - init, (Bloc,), (Btop,))
+            topsum = jax.lax.psum(topd, axis)
+            Lx = jax.lax.dynamic_update_slice(
+                Lx, topsum + init[Bloc:Bloc + Btop], (Bloc,))
         # phase 2: shared top scan, replicated (no communication)
-        merged = scan_waves(merged, instr2[0], instr2[1])
+        Lx = scan_waves(Lx, instr2[0], instr2[1], d)
         if root is not None:
-            merged = _root_fanout(merged, root, ndev, axis, dtype)
-        return merged
+            Lx = _root_fanout_local(Lx, root, dp, axis, dtype)
+        own = Lx[:Bloc]
+        top = jax.lax.dynamic_slice(Lx, (Bloc,), (max(Btop, 1),))
+        return own[None], top
 
     return jax.jit(program)
+
+
+def _root_fanout_local(Lx, root, dp, axis, dtype):
+    base_g, Np, nb, padeye, colmask = root
+    base = base_g - (dp.ndev - 1) * dp.Bloc        # top region: constant
+    return _root_fanout(Lx, (base, Np, nb, padeye, colmask), dp.ndev,
+                        axis, dtype)
+
+
+def _solve_nop_ops(dp, dtype):
+    """Solve operands with one appended dead wave on the nop class."""
+    wp = dp.wp
+    ops = wp.solve_arrays(dtype)
+    c = wp.classes[dp.nop_cls]
+    n = dp.plan.n
+    Np, Mb, W = c.Np, c.Mb, c.W
+    CL, RL, RK = c.CL, c.RL, c.RK
+    ext = dict(
+        base=jnp.concatenate([jnp.asarray(c.base),
+                              jnp.asarray([dp.wp.buf], dtype=c.base.dtype)]),
+        padeye=jnp.concatenate([jnp.asarray(c.padeye, dtype=dtype),
+                                jnp.ones((1, W, Np), dtype=dtype)]),
+        colidx=jnp.concatenate([jnp.asarray(c.colidx),
+                                jnp.full((1, W, Np), n,
+                                         dtype=c.colidx.dtype)]),
+        rowidx=jnp.concatenate([jnp.asarray(c.rowidx),
+                                jnp.full((1, W, Mb), n,
+                                         dtype=c.rowidx.dtype)]),
+        c_src=jnp.concatenate([jnp.asarray(c.c_src),
+                               jnp.zeros((1, CL), dtype=c.c_src.dtype)]),
+        c_dst=jnp.concatenate([jnp.asarray(c.c_dst),
+                               (n + 1 + jnp.arange(CL, dtype=c.c_dst.dtype)
+                                )[None, :]]),
+        r_src=jnp.concatenate([jnp.asarray(c.r_src),
+                               jnp.zeros((1, RL), dtype=c.r_src.dtype)]),
+        r_ids=jnp.concatenate([jnp.asarray(c.r_ids),
+                               jnp.full((1, RL), max(RK - 1, 0),
+                                        dtype=c.r_ids.dtype)]),
+        r_dst=jnp.concatenate([jnp.asarray(c.r_dst),
+                               (n + 1 + jnp.arange(RK, dtype=c.r_dst.dtype
+                                                   ))[None, :]]))
+    out = list(ops)
+    out[dp.nop_cls] = ext
+    return tuple(out)
+
+
+def _make_dist_solve(dp: DistPlan, mesh: Mesh, dtype):
+    axis = mesh.axis_names[0]
+    sops = _solve_nop_ops(dp, dtype)
+    meta = dp.wp.meta
+
+    def mk_branches(transpose):
+        return [
+            (lambda brf, o: (lambda c, pos, d: brf(c, pos, o, d)))(
+                _dist_solve_branch(Np, Mb, W, CL, CK, RL, RK, dp,
+                                   transpose), o)
+            for o, (Np, Mb, W, _L, _K, CL, CK, RL, RK)
+            in zip(sops, meta)]
+    fwd = mk_branches(False)
+    bwd = mk_branches(True)
+    i2 = (jnp.asarray(dp.top_solve_cls), jnp.asarray(dp.top_solve_pos))
+    i2r = (i2[0][::-1], i2[1][::-1])
+
+    def scan_solve(br, carry, cls, pos, d):
+        def body(c, xs):
+            cid, p = xs
+            return jax.lax.switch(cid, br, c, p, d), None
+        carry, _ = jax.lax.scan(body, carry, (cls, pos))
+        return carry
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(axis), P(), P(), P(axis), P(axis)),
+                       out_specs=P(),
+                       check_vma=False)
+    def solve_prog(own, top, x0, cls1, pos1):
+        d = jax.lax.axis_index(axis)
+        Lx = jnp.concatenate(
+            [own[0], top,
+             jnp.zeros(dp.lbuf - dp.Bloc - max(dp.Btop, 1), dtype=dtype)])
+        c1, p1 = cls1[0], pos1[0]
+        # forward: per-chip subtree lsolve, psum the disjoint x deltas,
+        # then the replicated top lsolve
+        (_, x) = scan_solve(fwd, (Lx, x0), c1, p1, d)
+        x = x0 + jax.lax.psum(x - x0, axis)
+        (_, x) = scan_solve(fwd, (Lx, x), i2[0], i2[1], d)
+        # backward: replicated top ltsolve, then per-chip subtrees + psum
+        (_, x) = scan_solve(bwd, (Lx, x), i2r[0], i2r[1], d)
+        xm = x
+        (_, x) = scan_solve(bwd, (Lx, x), c1[::-1], p1[::-1], d)
+        x = xm + jax.lax.psum(x - xm, axis)
+        return x
+
+    return jax.jit(solve_prog)
+
+
+@dataclasses.dataclass
+class DistFactor:
+    """Sharded distributed factor: per-chip own regions + replicated top.
+    Per-chip memory is O(Bloc + Btop); `gather()` materializes the full
+    SuperFactor on host only when explicitly asked."""
+
+    dp: DistPlan
+    own: jax.Array             # (ndev, Bloc), sharded over the mesh axis
+    top: jax.Array             # (max(Btop,1),), replicated
+    mesh: Mesh
+    perm: np.ndarray
+    minor: int
+    dtype: object
+
+    @property
+    def ok(self) -> bool:
+        return self.minor == self.dp.plan.n
+
+    def gather(self):
+        """Materialize the full factor as an ordinary SuperFactor (host)."""
+        from ..cholesky.super_numeric import SuperFactor
+        dp = self.dp
+        Lx = np.zeros(dp.buf, dtype=self.dtype)
+        own = np.asarray(self.own).reshape(-1)
+        Lx[:dp.ndev * dp.Bloc] = own
+        if dp.Btop:
+            Lx[dp.top_base:dp.top_base + dp.Btop] = np.asarray(
+                self.top)[:dp.Btop]
+        return SuperFactor(plan=dp.plan, Lx=jnp.asarray(Lx), perm=self.perm,
+                           minor=self.minor, dtype=self.dtype)
+
+    def solve(self, b, common=None):
+        """Distributed solve Ax=b: panels stay sharded; two (n x k) psums
+        of x deltas are the only communication."""
+        from ..core.common import default_common
+        cm = common or default_common()
+        dp = self.dp
+        n = dp.plan.n
+        b = np.asarray(b)
+        one_d = b.ndim == 1
+        bk = b.reshape(n, -1)
+        k = bk.shape[1]
+        key = ("solve", np.dtype(self.dtype).name, k,
+               tuple(d.id for d in self.mesh.devices.flat))
+        prog = dp.__dict__.setdefault("_progs", {}).get(key)
+        if prog is None:
+            prog = _make_dist_solve(dp, self.mesh, self.dtype)
+            dp._progs[key] = prog
+        xrows = n + dp.wp.xpad
+        perm = self.perm
+        x0 = np.zeros((xrows, k), dtype=self.dtype)
+        x0[:n] = bk[perm]
+        sh_b = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        sh_r = NamedSharding(self.mesh, P())
+        x = prog(self.own, self.top,
+                 jax.device_put(jnp.asarray(x0), sh_r),
+                 jax.device_put(jnp.asarray(dp.instr_cls), sh_b),
+                 jax.device_put(jnp.asarray(dp.instr_pos), sh_b))
+        itemsize = int(np.dtype(self.dtype).itemsize)
+        cm.info["dist_solve_psum_bytes"] = (
+            2 * xrows * k * 2 * (dp.ndev - 1) // max(dp.ndev, 1) * itemsize)
+        xh = np.asarray(x[:n])
+        out = np.empty_like(xh)
+        out[perm] = xh
+        return out.reshape(-1) if one_d else out
 
 
 def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32,
@@ -470,11 +751,13 @@ def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32,
                           root_2d_nb: int = 128, dp: DistPlan = None):
     """Full distributed supernodal factorization (see module docstring).
 
-    Returns (SuperFactor over the owner-contiguous plan, Symbolic); solve
-    via the ordinary solve_super (the merged factor is replicated).  Pass
-    a prebuilt `dp` (build_dist_plan) to reuse the pattern across values.
+    Returns (DistFactor, Symbolic): the factor STAYS sharded (own regions
+    over the mesh, top replicated).  Solve distributed via
+    ``DistFactor.solve``; ``DistFactor.gather()`` materializes a plain
+    SuperFactor when a replicated factor is explicitly wanted.  Pass a
+    prebuilt `dp` (build_dist_plan) to reuse the pattern across values.
     """
-    from ..cholesky.super_numeric import SuperFactor, _assemble_values
+    from ..cholesky.super_numeric import _assemble_values
     from ..core.common import default_common
 
     cm = common or default_common()
@@ -497,29 +780,33 @@ def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32,
         prog = _make_dist_program(dp, mesh, dtype)
         dp._progs[key] = prog
     sh_r = NamedSharding(mesh, P())
-    sh_b = NamedSharding(mesh, P("batch" if "batch" in mesh.axis_names
-                                 else mesh.axis_names[0]))
+    sh_b = NamedSharding(mesh, P(mesh.axis_names[0]))
     cm.tic("dist_factorize")
-    Lx = prog(jax.device_put(jnp.asarray(vals, dtype=dtype), sh_r),
-              jax.device_put(jnp.asarray(dp.instr_cls), sh_b),
-              jax.device_put(jnp.asarray(dp.instr_pos), sh_b))
-    Lx.block_until_ready()
+    own, top = prog(jax.device_put(jnp.asarray(vals, dtype=dtype), sh_r),
+                    jax.device_put(jnp.asarray(dp.a_dst_local), sh_b),
+                    jax.device_put(jnp.asarray(dp.instr_cls), sh_b),
+                    jax.device_put(jnp.asarray(dp.instr_pos), sh_b))
+    own.block_until_ready()
     t = cm.toc("dist_factorize")
     cm.info["dist_factor_time"] = t
     minor = dp.plan.n
-    if bool(jnp.isnan(Lx[:dp.plan.total]).any()):
+    bad = bool(jnp.isnan(own).any()) or bool(jnp.isnan(top).any())
+    if bad:
         from ..core.status import Status
         cm.status = Status.NOT_POSDEF
-        h = np.asarray(Lx)
         ss = dp.ss
+        f_full = DistFactor(dp=dp, own=own, top=top, mesh=mesh,
+                            perm=dp.sym.perm, minor=minor,
+                            dtype=dtype).gather()
+        h = np.asarray(f_full.Lx)
         for s in range(ss.nsuper):
             o = int(ss.panel_off[s])
             sz = int(ss.panel_Mp[s]) * int(ss.panel_Np[s])
             if np.isnan(h[o:o + sz]).any():
                 minor = int(ss.super[s])
                 break
-    return SuperFactor(plan=dp.plan, Lx=Lx, perm=dp.sym.perm, minor=minor,
-                       dtype=dtype), dp.sym
+    return DistFactor(dp=dp, own=own, top=top, mesh=mesh, perm=dp.sym.perm,
+                      minor=minor, dtype=dtype), dp.sym
 
 
 # ---------------------------------------------------------------------------

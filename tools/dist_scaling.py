@@ -1,0 +1,77 @@
+"""Distributed scaling curve on the virtual CPU mesh.
+
+Measures wall-clock of the ONE-program distributed factorization at
+ndev = 1/2/4/8 on a fixed lap3d pattern (VERDICT round-2 item 6: "record
+wall-clock at ndev=1/2/4/8 on the CPU mesh ... a committed efficiency
+table").
+
+CAVEAT (honest accounting): the 8 "devices" are XLA host-platform virtual
+devices sharing ONE CPU's cores, so speedups here measure the program's
+parallel decomposition under a shared-memory backend, not ICI-class
+scaling.  What it does validate: per-chip work/memory shrink with ndev,
+the collective count stays fixed, and no serialization hides in the
+program structure.  Run: python tools/dist_scaling.py [nx]
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import numpy as np
+
+
+def main(nx=16):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from suitesparse_tpu.core.common import default_common
+    from suitesparse_tpu.io import generators
+    from suitesparse_tpu.parallel.dist import (build_dist_plan,
+                                               distributed_factorize,
+                                               make_mesh)
+
+    A = generators.laplacian_3d(int(nx))
+    n = A.ncol
+    rows = []
+    t1 = None
+    for nd in (1, 2, 4, 8):
+        cm = default_common()
+        mesh = make_mesh(nd)
+        dp = build_dist_plan(A, nd, cm)
+        f, sym = distributed_factorize(A, mesh, cm, dtype=np.float64, dp=dp)
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            f, sym = distributed_factorize(A, mesh, cm, dtype=np.float64,
+                                           dp=dp)
+            f.own.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        b = np.ones(n)
+        x = f.solve(b, cm)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x = f.solve(b, cm)
+        ts = (time.perf_counter() - t0) / reps
+        from suitesparse_tpu.cholesky import residual_norm
+        res = residual_norm(A, x, b)
+        if t1 is None:
+            t1 = dt
+        eff = t1 / (nd * dt)
+        rows.append(dict(ndev=nd, factor_s=round(dt, 4),
+                         solve_s=round(ts, 4), speedup=round(t1 / dt, 2),
+                         efficiency=round(eff, 3),
+                         per_chip_buf=int(dp.lbuf), global_buf=int(dp.buf),
+                         residual=float(res)))
+        print(f"ndev={nd}: factor {dt*1e3:8.1f} ms  solve {ts*1e3:7.1f} ms "
+              f"speedup {t1/dt:5.2f}  eff {eff:5.3f}  "
+              f"per-chip buf {dp.lbuf} ({100.0*dp.lbuf/dp.buf:.0f}% of "
+              f"global)  residual {res:.1e}", flush=True)
+    print(json.dumps({"matrix": f"lap3d_{nx}", "n": n, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:] or []))
