@@ -487,14 +487,9 @@ def _proj_branch(Wc, Mbc, Wp, Npt, Mbt, G):
     return br
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def _pf_program(vals, a_src, a_dst, instr, class_ops, meta, buf,
-                syrk_bf16=False):
+def _pf_branches(class_ops, meta, syrk_bf16):
     fops, pops = class_ops
     fmeta, pmeta = meta
-    Fx = jnp.zeros(buf, dtype=vals.dtype)
-    Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
-                          unique_indices=True, mode="promise_in_bounds")
     branches = [
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
             _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16), ops)
@@ -503,6 +498,20 @@ def _pf_program(vals, a_src, a_dst, instr, class_ops, meta, buf,
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
             _proj_branch(Wc, Mbc, Wp, Npt, Mbt, G), ops)
         for ops, (Wc, Mbc, Wp, Npt, Mbt, G) in zip(pops, pmeta)]
+    return branches
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _pf_program_scan(vals, a_src, a_dst, instr, class_ops, meta, buf,
+                     syrk_bf16=False):
+    """Scanned form: compile O(#classes), but lax.scan+switch double-
+    buffers the whole carry every step — measured 1.65 ms/instruction on
+    v5e (tools/ablate_pf.py), which dwarfs the compute.  Kept as the
+    compile-bounded fallback; the unrolled form below is the default."""
+    Fx = jnp.zeros(buf, dtype=vals.dtype)
+    Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
+                          unique_indices=True, mode="promise_in_bounds")
+    branches = _pf_branches(class_ops, meta, syrk_bf16)
 
     def body(Fx, xs):
         cid, pos = xs
@@ -512,7 +521,22 @@ def _pf_program(vals, a_src, a_dst, instr, class_ops, meta, buf,
     return Fx
 
 
-def pf_numeric(vals, pfp: PFPlan, dtype, syrk_bf16=False):
+@functools.partial(jax.jit, static_argnums=(3, 5, 6, 7))
+def _pf_program_unroll(vals, a_src, a_dst, instr, class_ops, meta, buf,
+                       syrk_bf16=False):
+    """Straight-line instruction sequence: XLA updates the factor buffer
+    in place (no per-step carry copy).  Measured 4.7x faster than the
+    scanned form on lap3d_28 AND 3x faster to compile."""
+    Fx = jnp.zeros(buf, dtype=vals.dtype)
+    Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
+                          unique_indices=True, mode="promise_in_bounds")
+    branches = _pf_branches(class_ops, meta, syrk_bf16)
+    for cid, pos in instr:
+        Fx = branches[cid](Fx, pos)
+    return Fx
+
+
+def pf_numeric(vals, pfp: PFPlan, dtype, syrk_bf16=False, form=None):
     """The full numeric factorization with pass-forward extend-add, as one
     compiled program (cached per (pattern, dtype, syrk_bf16))."""
     ops = pfp.arrays(dtype)
@@ -522,5 +546,15 @@ def pf_numeric(vals, pfp: PFPlan, dtype, syrk_bf16=False):
         a_src, a_dst = _a_sorted_maps(pfp.plan.ss)
         amaps = (jnp.asarray(a_src), jnp.asarray(a_dst))
         pfp._cache["amaps"] = amaps
-    return _pf_program(jnp.asarray(vals, dtype=dtype), amaps[0], amaps[1],
-                       pfp.instr, ops, pfp.meta, pfp.buf, syrk_bf16)
+    if form is None:
+        import os
+        form = os.environ.get("SSTPU_PF_FORM", "unroll")
+    if form == "scan":
+        return _pf_program_scan(jnp.asarray(vals, dtype=dtype), amaps[0],
+                                amaps[1], pfp.instr, ops, pfp.meta, pfp.buf,
+                                syrk_bf16)
+    seq = tuple((int(c), int(p))
+                for c, p in zip(pfp.instr_cls, pfp.instr_pos))
+    return _pf_program_unroll(jnp.asarray(vals, dtype=dtype), amaps[0],
+                              amaps[1], seq, ops, pfp.meta, pfp.buf,
+                              syrk_bf16)

@@ -413,27 +413,57 @@ def _ltsolve_branch(Np, Mb, W, CL, CK, RL, RK):
 
 @functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(1,))
 def _wave_lsolve_program(Lx, x, instr, class_ops, meta, transpose):
+    """Scanned solve.  The factor buffer is an INVARIANT closed over by
+    the scan body — carrying it (the round-2 form) made lax.scan copy the
+    whole factor every step (tools/ablate_pf.py measurement); the carry
+    is now just the small x panel."""
     mk = _ltsolve_branch if transpose else _lsolve_branch
     branches = [
-        (lambda brf, ops: (lambda c, pos: brf(c, pos, ops)))(
+        (lambda brf, ops: (lambda x, pos: brf((Lx, x), pos, ops)[1]))(
             mk(Np, Mb, W, CL, CK, RL, RK), ops)
         for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK) in zip(class_ops, meta)]
 
-    def body(carry, xs):
+    def body(x, xs):
         cid, pos = xs
-        return jax.lax.switch(cid, branches, carry, pos), None
+        return jax.lax.switch(cid, branches, x, pos), None
 
-    (Lx, x), _ = jax.lax.scan(body, (Lx, x), instr)
+    x, _ = jax.lax.scan(body, x, instr)
     return x
+
+
+@functools.partial(jax.jit, static_argnums=(2, 4, 5), donate_argnums=(1,))
+def _wave_lsolve_unroll(Lx, x, seq, class_ops, meta, transpose):
+    """Straight-line solve (default): in-place x updates, no switch."""
+    mk = _ltsolve_branch if transpose else _lsolve_branch
+    branches = [
+        (lambda brf, ops: (lambda x, pos: brf((Lx, x), pos, ops)[1]))(
+            mk(Np, Mb, W, CL, CK, RL, RK), ops)
+        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK) in zip(class_ops, meta)]
+    for cid, pos in seq:
+        x = branches[cid](x, pos)
+    return x
+
+
+def _solve_form():
+    import os
+    return os.environ.get("SSTPU_PF_FORM", "unroll")
 
 
 def wave_lsolve(wp: WavePlan, Lx, x):
     ops = wp.solve_arrays(Lx.dtype)
-    return _wave_lsolve_program(Lx, x, wp.instr, ops, wp.meta, False)
+    if _solve_form() == "scan":
+        return _wave_lsolve_program(Lx, x, wp.instr, ops, wp.meta, False)
+    seq = tuple((int(c), int(p))
+                for c, p in zip(wp.instr_cls, wp.instr_pos))
+    return _wave_lsolve_unroll(Lx, x, seq, ops, wp.meta, False)
 
 
 def wave_ltsolve(wp: WavePlan, Lx, x):
     ops = wp.solve_arrays(Lx.dtype)
-    ic, ip = wp.instr
-    rinstr = (ic[::-1], ip[::-1])
-    return _wave_lsolve_program(Lx, x, rinstr, ops, wp.meta, True)
+    if _solve_form() == "scan":
+        ic, ip = wp.instr
+        rinstr = (ic[::-1], ip[::-1])
+        return _wave_lsolve_program(Lx, x, rinstr, ops, wp.meta, True)
+    seq = tuple((int(c), int(p))
+                for c, p in zip(wp.instr_cls[::-1], wp.instr_pos[::-1]))
+    return _wave_lsolve_unroll(Lx, x, seq, ops, wp.meta, True)
