@@ -212,3 +212,67 @@ class TestSolveExtras:
         f2 = resymbol(A2, f)
         b = np.ones(25)
         assert np.abs(A2.to_scipy().toarray() @ solve(f2, b) - b).max() < 1e-8
+
+
+class TestMatlabToolsRemainder:
+    """Round-3 MATLAB_Tools closure: sparseinv / meshnd / ssmult-sfmult."""
+
+    def test_sparseinv_matches_dense_inverse_on_pattern(self):
+        from suitesparse_tpu.io.fixtures import load
+        from suitesparse_tpu.models.sparseinv import sparseinv
+        for name in ("west0067", "bcsstk01"):
+            A = load(name)
+            if A.stype:
+                A = A.to_full_storage()
+            Z, Zp = sparseinv(A)
+            S = np.linalg.inv(A.to_scipy().toarray())
+            mask = Zp.toarray()
+            err = (np.abs(np.where(mask, Z.toarray() - S, 0.0)).max()
+                   / np.abs(S).max())
+            assert err < 1e-10, name
+            # substantial coverage (the reference guarantees the full
+            # diagonal only in its Cholesky mode)
+            assert Zp.nnz > A.nnz
+
+    def test_meshnd_ordering_beats_natural(self):
+        from suitesparse_tpu.models.meshnd import meshnd, meshsparse
+        import scipy.sparse as sp
+        G, p, pinv, Gnew = meshnd(8, 8)
+        assert sorted(p.tolist()) == list(range(64))
+        assert (pinv[p] == np.arange(64)).all()
+        A = meshsparse(G, 5)
+        assert A.shape == (64, 64)
+        S = A.to_scipy() + 4.1 * sp.eye(64)          # SPD shift
+        from suitesparse_tpu.cholesky import analyze
+        from suitesparse_tpu.core.sparse import SparseCSC
+        Ac = SparseCSC.from_scipy(S.tocsc())
+        sym_nat = analyze(Ac, perm=np.arange(64))
+        sym_nd = analyze(Ac, perm=p)
+        assert sym_nd.lnz <= sym_nat.lnz             # ND reduces fill
+
+    def test_meshnd_3d(self):
+        from suitesparse_tpu.models.meshnd import meshnd, meshsparse
+        G, p, pinv, Gnew = meshnd(4, 4, 4)
+        assert G.shape == (4, 4, 4)
+        A = meshsparse(G, 7)
+        assert A.shape == (64, 64)
+        d = A.to_scipy().diagonal()
+        assert d.max() == 6 and d.min() == 3          # corner/interior degs
+
+    def test_ssmult_sfmult(self):
+        import scipy.sparse as sp
+        from suitesparse_tpu.models.ssmult import sfmult, ssmult
+        rng = np.random.default_rng(0)
+        Sa = sp.random(30, 25, 0.2, random_state=rng).tocsc()
+        Sb = sp.random(25, 28, 0.2, random_state=rng).tocsc()
+        A = SparseCSC.from_scipy(Sa)
+        B = SparseCSC.from_scipy(Sb)
+        C = ssmult(A, B)
+        assert abs(C.to_scipy() - Sa @ Sb).max() < 1e-12
+        Ct = ssmult(A, A, at=True)
+        assert abs(Ct.to_scipy() - Sa.T @ Sa).max() < 1e-12
+        X = rng.standard_normal((25, 3))
+        Y = sfmult(A, X)
+        assert np.allclose(Y, Sa @ X)
+        Yt = sfmult(A, rng.standard_normal(30), at=True)
+        assert Yt.shape == (25,)

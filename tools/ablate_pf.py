@@ -49,6 +49,10 @@ def build(name):
 def make_program(pfp, variant):
     from suitesparse_tpu.cholesky.pf import _proj_branch
 
+    unrolled = variant.startswith("u-")
+    if unrolled:
+        variant = variant[2:]
+
     fops, pops = pfp.arrays(np.float32)
     fmeta, pmeta = pfp.meta
     nf = len(fmeta)
@@ -125,7 +129,7 @@ def make_program(pfp, variant):
     ic = jnp.asarray(instr_cls)
     ip = jnp.asarray(instr_pos)
 
-    if variant == "unroll":
+    if variant == "unroll" or unrolled:
         # straight-line instruction sequence: no scan, no switch — XLA can
         # update the buffer in place instead of copying the whole carry
         # per step (the measured 1.65 ms/step scan+switch tax)
