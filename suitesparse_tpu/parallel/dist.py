@@ -64,6 +64,32 @@ def make_mesh(n_devices: int | None = None, axis: str = "batch",
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def make_global_mesh(axis: str = "batch") -> Mesh:
+    """Multi-host (DCN) mesh: ALL devices across every JAX process.
+
+    The distributed program is already multi-host-shaped: instruction
+    streams / per-chip A maps are sharded along the mesh axis and the only
+    cross-chip traffic is psum collectives, which XLA routes over ICI
+    within a host and DCN across hosts.  Under multi-process JAX
+    (jax.distributed.initialize), inputs must be built with
+    `jax.make_array_from_process_local_data` instead of plain device_put —
+    `shard_inputs` below does that when process_count > 1.
+
+    Validated single-process (the dryrun CPU mesh); multi-process runs
+    need a real multi-host slice, which this environment does not have —
+    see PARITY.md 'distributed scope'."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def shard_inputs(mesh: Mesh, spec: P, host_array: np.ndarray):
+    """Build a mesh-sharded array from a host-replicated numpy array,
+    working under both single- and multi-process JAX."""
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, host_array)
+    return jax.device_put(jnp.asarray(host_array), sh)
+
+
 # ---------------------------------------------------------------------------
 # Host planning
 # ---------------------------------------------------------------------------
@@ -731,12 +757,11 @@ class DistFactor:
         perm = self.perm
         x0 = np.zeros((xrows, k), dtype=self.dtype)
         x0[:n] = bk[perm]
-        sh_b = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
-        sh_r = NamedSharding(self.mesh, P())
+        axis = self.mesh.axis_names[0]
         x = prog(self.own, self.top,
-                 jax.device_put(jnp.asarray(x0), sh_r),
-                 jax.device_put(jnp.asarray(dp.instr_cls), sh_b),
-                 jax.device_put(jnp.asarray(dp.instr_pos), sh_b))
+                 shard_inputs(self.mesh, P(), x0),
+                 shard_inputs(self.mesh, P(axis), np.asarray(dp.instr_cls)),
+                 shard_inputs(self.mesh, P(axis), np.asarray(dp.instr_pos)))
         itemsize = int(np.dtype(self.dtype).itemsize)
         cm.info["dist_solve_psum_bytes"] = (
             2 * xrows * k * 2 * (dp.ndev - 1) // max(dp.ndev, 1) * itemsize)
@@ -779,13 +804,13 @@ def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32,
     if prog is None:
         prog = _make_dist_program(dp, mesh, dtype)
         dp._progs[key] = prog
-    sh_r = NamedSharding(mesh, P())
-    sh_b = NamedSharding(mesh, P(mesh.axis_names[0]))
+    axis = mesh.axis_names[0]
     cm.tic("dist_factorize")
-    own, top = prog(jax.device_put(jnp.asarray(vals, dtype=dtype), sh_r),
-                    jax.device_put(jnp.asarray(dp.a_dst_local), sh_b),
-                    jax.device_put(jnp.asarray(dp.instr_cls), sh_b),
-                    jax.device_put(jnp.asarray(dp.instr_pos), sh_b))
+    own, top = prog(
+        shard_inputs(mesh, P(), np.asarray(vals, dtype=dtype)),
+        shard_inputs(mesh, P(axis), np.asarray(dp.a_dst_local)),
+        shard_inputs(mesh, P(axis), np.asarray(dp.instr_cls)),
+        shard_inputs(mesh, P(axis), np.asarray(dp.instr_pos)))
     own.block_until_ready()
     t = cm.toc("dist_factorize")
     cm.info["dist_factor_time"] = t
