@@ -242,7 +242,10 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                         pb = plan.levels[li + 1][bj]
                         Mft = pb.Np + pb.Mb
                         Wp = pb.W
-                        while Wp > 1 and Wp * Mft * max(Mb, pb.Np) > CAP:
+                        # cap includes the (Wp, G, Mft, Mbc) batched
+                        # placement workspace (G bounded by 8 below)
+                        while Wp > 1 and Wp * Mft * max(8 * Mb, pb.Np) > \
+                                4 * CAP:
                             Wp //= 2
                         wc = slot // Wc
                         cp = slotp // Wp
@@ -277,7 +280,15 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
             # ---- projection instructions (after this bucket's factor) ----
             if mode == 1:
                 Wc_tot = nw * W
-                for (bj, cp, wc, Wp), slots in sorted(groups.items()):
+                for (bj, cp, wc, Wp), slots_all in sorted(groups.items()):
+                  gmax_all = max(len(v) for v in slots_all.values())
+                  for gch in range(-(-gmax_all // 8)):
+                    # G capped at 8 per instruction (bounds the batched
+                    # placement workspace); overflow children go to a
+                    # further instruction on the same parent chunk
+                    slots = {sp: lst[gch * 8:(gch + 1) * 8]
+                             for sp, lst in slots_all.items()
+                             if len(lst) > gch * 8}
                     pb = plan.levels[li + 1][bj]
                     Npt, Mbt = pb.Np, pb.Mb
                     Mft = Npt + Mbt
@@ -456,29 +467,27 @@ def _proj_branch(Wc, Mbc, Wp, Npt, Mbt, G):
             [Uc, jnp.zeros((1, Mbc, Mbc), dtype=dtype)], axis=0)
         csel = ops["csel"][pos]          # (Wp, G)
         idxf = ops["idxf"][pos]          # (Wp, G, Mft)
-        ppatch = jnp.zeros((Wp, Mft, Npt), dtype=dtype)
-        tpatch = jnp.zeros((Wp, Mbt, Mbt), dtype=dtype) if Mbt else None
+        # children batched over g in ONE gather / placement / einsum: the
+        # G-sum rides the contraction axis (G*Mbc), which both shrinks the
+        # op count ~3x (per-op overhead dominates on this chip) and feeds
+        # the MXU a larger contraction
+        Ug = Ucz[csel]                                     # (Wp,G,Mbc,Mbc)
+        Ugz = jnp.concatenate(
+            [Ug, jnp.zeros((Wp, G, 1, Mbc), dtype=dtype)], axis=2)
+        R = jnp.take_along_axis(Ugz, idxf[:, :, :, None], axis=2)
         mcols = jnp.arange(Mbc, dtype=jnp.int32)
-        for g in range(G):
-            Ug = Ucz[csel[:, g]]                           # block gather
-            Ugz = jnp.concatenate(
-                [Ug, jnp.zeros((Wp, 1, Mbc), dtype=dtype)], axis=1)
-            ix = idxf[:, g]                                # (Wp, Mft)
-            R = jnp.take_along_axis(Ugz, ix[:, :, None], axis=1)
-            Wh = (ix[:, :, None] == mcols).astype(dtype)   # (Wp, Mft, Mbc)
-            ppatch = ppatch + jnp.einsum(
-                "kfm,khm->kfh", R, Wh[:, :Npt, :],
-                preferred_element_type=dtype)
-            if Mbt:
-                tpatch = tpatch + jnp.einsum(
-                    "kfm,khm->kfh", R[:, Npt:, :], Wh[:, Npt:, :],
-                    preferred_element_type=dtype)
+        Wh = (idxf[:, :, :, None] == mcols).astype(dtype)  # (Wp,G,Mft,Mbc)
+        ppatch = jnp.einsum("kgfm,kghm->kfh", R, Wh[:, :, :Npt, :],
+                            preferred_element_type=dtype)
         pbase = ops["pbase"][pos]
         Mpt = Npt + Mbt
         region = jax.lax.dynamic_slice(Fx, (pbase,), (Wp * Mpt * Npt,))
         region = region.reshape(Wp, Mpt, Npt) - ppatch
         Fx = jax.lax.dynamic_update_slice(Fx, region.reshape(-1), (pbase,))
         if Mbt:
+            tpatch = jnp.einsum("kgfm,kghm->kfh", R[:, :, Npt:, :],
+                                Wh[:, :, Npt:, :],
+                                preferred_element_type=dtype)
             pub = ops["pub"][pos]
             acc = jax.lax.dynamic_slice(Fx, (pub,), (Wp * Mbt * Mbt,))
             acc = acc.reshape(Wp, Mbt, Mbt) + jnp.tril(tpatch)
