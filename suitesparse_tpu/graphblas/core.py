@@ -597,12 +597,18 @@ def reduce_rows(A, monoid: str = "plus"):
 
 
 def reduce_scalar(A, monoid: str = "plus"):
-    """GrB_reduce to a scalar."""
+    """GrB_reduce to a scalar (any catalog or registered monoid)."""
     G = _as_grb(A)
     mon = MONOIDS[monoid]
+    if not G.nnz:
+        return jnp.asarray(mon.identity)
     red = {"plus": jnp.sum, "min": jnp.min, "max": jnp.max,
-           "times": jnp.prod}.get(mon.name, jnp.sum)
-    return red(G.vals) if G.nnz else jnp.asarray(mon.identity)
+           "times": jnp.prod}.get(mon.name)
+    if red is not None:
+        return red(G.vals)
+    # generic: one-segment fold through the monoid's own reduction
+    return mon.segment_reduce(
+        G.vals, jnp.zeros(G.nnz, dtype=jnp.int32), 1)[0]
 
 
 def transpose(A) -> SparseCSC:
