@@ -71,17 +71,19 @@ class PFPlan:
     fops: list          # per factor class: dict of stacked host arrays
     pmeta: tuple        # per proj class: (Wc, Mbc, Wp, Npt, Mbt, G)
     pops: list          # per proj class: dict of stacked host arrays
-    instr_cls: np.ndarray   # class id per instruction (proj ids offset by
-    instr_pos: np.ndarray   # len(fmeta)); schedule order
-    buf: int
-    ub_total: int
-    proj_flops: float   # projection flop count (diagnostic)
-    scat_entries: int   # 1-hop scatter entry count (diagnostic)
+    qmeta: tuple = ()   # per PAIR class: (Mbc, NC, P, Npt, Mbt, RWb)
+    qops: list = dataclasses.field(default_factory=list)
+    instr_cls: np.ndarray = None  # class id per instruction: [f | p | q]
+    instr_pos: np.ndarray = None  # position within the class stack
+    buf: int = 0
+    ub_total: int = 0
+    proj_flops: float = 0.0   # projection flop count (diagnostic)
+    scat_entries: int = 0     # 1-hop scatter entry count (diagnostic)
     _cache: dict = dataclasses.field(default_factory=dict)
 
     @property
     def meta(self):
-        return (self.fmeta, self.pmeta)
+        return (self.fmeta, self.pmeta, self.qmeta)
 
     def arrays(self, dtype):
         key = np.dtype(dtype).name
@@ -94,7 +96,9 @@ class PFPlan:
                 for ops in self.fops)
             po = tuple({k: jnp.asarray(v) for k, v in ops.items()}
                        for ops in self.pops)
-            got = (fo, po)
+            qo = tuple({k: jnp.asarray(v) for k, v in ops.items()}
+                       for ops in self.qops)
+            got = (fo, po, qo)
             self._cache[key] = got
         return got
 
@@ -195,12 +199,15 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
     CAP = 24 << 20       # working floats per instruction slice
     f_instrs = []        # (key, ops) in schedule order, tag 'f'
     p_instrs = []        # (key, ops) tag 'p'
-    stream = []          # ('f'|'p', index into the tag list)
+    q_instrs = []        # (key, ops) tag 'q' (pair-grouped projections)
+    stream = []          # ('f'|'p'|'q', index into the tag list)
     proj_flops = 0.0
     scat_entries = 0
+    pair = opts.pf_group == "pair"
 
     for li, lv in enumerate(plan.levels):
         lv_proj = []
+        lv_pairs = {}        # (Mbc, bj) -> [(uoff, slotp, s, t), ...]
         for bi, b in enumerate(lv):
             Np, Mb, B, W = b.Np, b.Mb, len(b.sids), b.W
             Mp = Np + Mb
@@ -212,6 +219,9 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                 pb_of = {}
                 child_list = []      # (slot, s, t, lj, bj, slotp)
                 for slot, s in enumerate(b.sids.tolist()):
+                    ms, ns = ss.panel_shape(s)
+                    if ms == ns:
+                        continue     # no below rows (bucket-merge padding)
                     t = int(parent[s])
                     lj, bj, slotp = where[t]
                     assert lj == li + 1, "parent must be on the next level"
@@ -231,7 +241,14 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                 mode = 1 if (opts.pf_mode == "project"
                              or (opts.pf_mode == "auto"
                                  and t_proj < t_scat)) else 2
-                if mode == 1:
+                if mode == 1 and pair:
+                    for slot, s, t, bj, slotp in child_list:
+                        pb = plan.levels[li + 1][bj]
+                        lv_pairs.setdefault(
+                            (Mb, pb.Np, pb.Mb), {}).setdefault(
+                            (bj, slotp), []).append(
+                            (int(ub_slot_of[s]), s, t))
+                elif mode == 1:
                     # child window size for the update-stack slice
                     Wc_tot = nw * W
                     Wc = Wc_tot
@@ -324,6 +341,76 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                     stream.append(("p", len(p_instrs)))
                     p_instrs.append((key, ops))
 
+        # ---- pair-grouped projections (after ALL of the level's factors):
+        # parent-blocked contraction — children of each parent ride the
+        # einsum contraction axis (G), so the patch materializes PER PARENT
+        # (P,Mft,Npt), never per child.  Parents are classed by pow2(G) and
+        # chunked into contiguous slot windows; children may come from any
+        # same-Mb bucket of the level (global slab gather by offset).
+        for (Mbc, Npt, Mbt), par in sorted(lv_pairs.items()):
+            Mft = Npt + Mbt
+            # G partition, cost-modelled: either ONE class padded to the
+            # pair's Gmax, or a pow2 ladder of classes.  Padded G rows are
+            # zeros (flops+data), extra classes are extra instructions
+            # (~30us dispatch each) — pick the cheaper predicted time.
+            gs = [len(v) for v in par.values()]
+            gmax = _pow2ceil(max(gs))
+            pad_single = sum(gmax - g for g in gs)
+            pad_pow2 = sum(_pow2ceil(g) - g for g in gs)
+            ncls_pow2 = len({_pow2ceil(g) for g in gs})
+            unit_cost = 2.0 * Mbc * (Mft * Npt + Mbt * Mbt) / 3e13 \
+                + 2.0 * Mft * Mbc * 4 / 5e11
+            single = (pad_single - pad_pow2) * unit_cost \
+                < (ncls_pow2 - 1) * 30e-6
+            by_g = {}
+            for bs in sorted(par):
+                g = gmax if single else _pow2ceil(len(par[bs]))
+                by_g.setdefault(g, []).append((bs, par[bs]))
+            for G, plist in sorted(by_g.items()):
+                unit = G * Mft * 2 * Mbc + G * Mbc * Mbc \
+                    + 2 * Mft * Npt + Mbt * Mbt
+                cap_p = max(1, (8 * CAP) // unit)
+                for p0 in range(0, len(plist), cap_p):
+                    ppart = plist[p0:p0 + cap_p]
+                    P = len(ppart)
+                    Pq = _pow2ceil(P)
+                    uoff = np.zeros((Pq, G), dtype=INDEX)
+                    idxf = np.full((Pq, G, Mft), Mbc, dtype=np.int32)
+                    # absolute slab destinations; parent pads point past
+                    # the buffer end and are dropped by the scatter mode
+                    pdst = np.full(Pq, 1 << 40, dtype=INDEX)
+                    udst = np.full(Pq, 1 << 40, dtype=INDEX)
+                    for k, ((bj, sp), childs) in enumerate(ppart):
+                        pb = plan.levels[li + 1][bj]
+                        pdst[k] = pb.base + sp * Mft * Npt
+                        udst[k] = ub_base.get((li + 1, bj), 0) \
+                            + sp * Mbt * Mbt
+                        t = childs[0][2]
+                        rows_t = rows_of[t]
+                        ns_t = int(sup[t + 1] - sup[t])
+                        uoff[k, :] = childs[0][0]
+                        for g, (uo, s, _t) in enumerate(childs):
+                            uoff[k, g] = uo
+                            ms, ns = ss.panel_shape(s)
+                            mb = ms - ns
+                            r = rows_of[s][ns:]
+                            loc = np.searchsorted(rows_t, r)
+                            ok = loc < len(rows_t)
+                            locc = np.clip(loc, 0, max(len(rows_t) - 1, 0))
+                            ok &= rows_t[locc] == r
+                            assert ok.all(), "containment violated"
+                            fpos = np.where(locc < ns_t, locc,
+                                            Npt + (locc - ns_t))
+                            idxf[k, g, fpos] = np.arange(mb, dtype=np.int32)
+                            proj_flops += 2.0 * Mft * Npt * Mbc \
+                                + 2.0 * Mbt * Mbt * Mbc
+                    uoff[P:] = uoff[0, 0]  # pads read a real slab; their
+                    # idxf rows select the zero row -> contribute nothing
+                    ops = dict(uoff=uoff, idxf=idxf, pdst=pdst, udst=udst)
+                    key = (Mbc, G, Pq, Npt, Mbt)
+                    stream.append(("q", len(q_instrs)))
+                    q_instrs.append((key, ops))
+
     # --- stack operands per class -----------------------------------------
     def stack(instrs, pad_scat=False):
         keys, by = [], {}
@@ -369,21 +456,27 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
 
     fkeys, fid, fstk, fpos_ctr, kmax = stack(f_instrs, pad_scat=True)
     pkeys, pid, pstk, ppos_ctr, _ = stack(p_instrs)
+    qkeys, qid, qstk, qpos_ctr, _ = stack(q_instrs)
 
     T = len(stream)
     instr_cls = np.empty(T, dtype=np.int32)
     instr_pos = np.empty(T, dtype=np.int32)
     nf = len(fkeys)
+    npc = len(pkeys)
     for t, (tag, i) in enumerate(stream):
-        key = (f_instrs if tag == "f" else p_instrs)[i][0]
+        key = {"f": f_instrs, "p": p_instrs, "q": q_instrs}[tag][i][0]
         if tag == "f":
             instr_cls[t] = fid[key]
             instr_pos[t] = fpos_ctr[key]
             fpos_ctr[key] += 1
-        else:
+        elif tag == "p":
             instr_cls[t] = nf + pid[key]
             instr_pos[t] = ppos_ctr[key]
             ppos_ctr[key] += 1
+        else:
+            instr_cls[t] = nf + npc + qid[key]
+            instr_pos[t] = qpos_ctr[key]
+            qpos_ctr[key] += 1
 
     # buffer: panels | update slots | trash region; extend for any slice
     # overrun from pow2 window rounding (reads there are never selected,
@@ -400,6 +493,8 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                   fops=[o for _, o in fstk],
                   pmeta=tuple(k for k, _ in pstk),
                   pops=[o for _, o in pstk],
+                  qmeta=tuple(k for k, _ in qstk),
+                  qops=[o for _, o in qstk],
                   instr_cls=instr_cls, instr_pos=instr_pos,
                   buf=int(buf), ub_total=int(ub_total),
                   proj_flops=proj_flops, scat_entries=scat_entries)
@@ -496,9 +591,64 @@ def _proj_branch(Wc, Mbc, Wp, Npt, Mbt, G):
     return br
 
 
+_SCAT_DN = jax.lax.ScatterDimensionNumbers(
+    update_window_dims=(1,), inserted_window_dims=(),
+    scatter_dims_to_operand_dims=(0,))
+
+
+def _slab_scatter_add(Fx, dst, updates):
+    """Add (P, L) update slabs into the flat buffer at offsets dst.
+    Slabs are whole parent panels / update slots — contiguous, sorted,
+    non-overlapping; pad rows point far out of bounds and are dropped."""
+    return jax.lax.scatter_add(
+        Fx, dst[:, None], updates, _SCAT_DN,
+        indices_are_sorted=True, unique_indices=True,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+
+
+def _pair_branch(Mbc, G, Pq, Npt, Mbt):
+    """Pair-grouped projection: parent-blocked contraction.  Each parent's
+    children (padded to pow2 G) ride the einsum contraction axis, so the
+    placement patch materializes PER PARENT — (Pq,Mft,Npt) — never per
+    child; children are slab-gathered by offset from any same-Mb bucket of
+    the level, and patches land with ONE slab-granular scatter-add (no
+    window read of untouched parents).  Mirrors the reference's in-loop
+    frontal assembly (t_cholmod_super_numeric.c:596-640; map kernels
+    cholmod_gpu_kernels.cu:17-66) with MXU placement one-hots instead of
+    relative-map scalar adds."""
+    Mft = Npt + Mbt
+
+    def br(Fx, pos, ops):
+        dtype = Fx.dtype
+        uoff = ops["uoff"][pos]          # (Pq, G) child slab offsets
+        idxf = ops["idxf"][pos]          # (Pq, G, Mft)
+        Uc = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(Fx, (o,), (Mbc * Mbc,)))(
+            uoff.reshape(-1))
+        Uc = Uc.reshape(Pq, G, Mbc, Mbc)
+        Ucz = jnp.concatenate(
+            [Uc, jnp.zeros((Pq, G, 1, Mbc), dtype=dtype)], axis=2)
+        R = jnp.take_along_axis(Ucz, idxf[:, :, :, None], axis=2)
+        mcols = jnp.arange(Mbc, dtype=jnp.int32)
+        Wh = (idxf[:, :, :, None] == mcols).astype(dtype)   # (Pq,G,Mft,Mbc)
+        S = jnp.einsum("pgfm,pghm->pfh", R, Wh[:, :, :Npt, :],
+                       preferred_element_type=dtype)        # (Pq,Mft,Npt)
+        Fx = _slab_scatter_add(Fx, ops["pdst"][pos],
+                               -S.reshape(Pq, Mft * Npt))
+        if Mbt:
+            St = jnp.einsum("pgfm,pghm->pfh", R[:, :, Npt:, :],
+                            Wh[:, :, Npt:, :],
+                            preferred_element_type=dtype)   # (Pq,Mbt,Mbt)
+            St = jnp.tril(St)            # parent slots are lower-canonical
+            Fx = _slab_scatter_add(Fx, ops["udst"][pos],
+                                   St.reshape(Pq, Mbt * Mbt))
+        return Fx
+    return br
+
+
 def _pf_branches(class_ops, meta, syrk_bf16):
-    fops, pops = class_ops
-    fmeta, pmeta = meta
+    fops, pops, qops = class_ops
+    fmeta, pmeta, qmeta = meta
     branches = [
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
             _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16), ops)
@@ -507,6 +657,10 @@ def _pf_branches(class_ops, meta, syrk_bf16):
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
             _proj_branch(Wc, Mbc, Wp, Npt, Mbt, G), ops)
         for ops, (Wc, Mbc, Wp, Npt, Mbt, G) in zip(pops, pmeta)]
+    branches += [
+        (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
+            _pair_branch(Mbc, G, Pq, Npt, Mbt), ops)
+        for ops, (Mbc, G, Pq, Npt, Mbt) in zip(qops, qmeta)]
     return branches
 
 

@@ -88,6 +88,8 @@ class SuperSymbolic:
     a_scatter_dst: np.ndarray  # flat positions in Lx for tril(PAP') nonzeros
     a_scatter_src: np.ndarray  # corresponding indices into P.data
     wave_w: Optional[dict] = None  # (Np, Mb) -> wave batch size (wave.py)
+    layout_opts: tuple = ("coarse", 0.0)   # (ladder, bucket_merge) used —
+    # stored so serialize can re-derive the identical layout on load
 
     def panel_shape(self, s: int) -> tuple[int, int]:
         ms = int(self.sn_rowptr[s + 1] - self.sn_rowptr[s])
@@ -146,7 +148,50 @@ def _pick_wave_bucket(Np: int, Mb: int, B: int,
     return max(w, 1)
 
 
-def _assign_layout(levels, shapes, ladder: str = "coarse"):
+def _merge_level_buckets(groups: dict, budget_frac: float) -> dict:
+    """Greedily merge a level's shape buckets (padding both dims up to the
+    cluster max) while the padded-volume increase stays under
+    budget_frac x the level's original padded volume.
+
+    TPU rationale: every (bucket shape x parent shape) pair is a separate
+    compiled instruction in the numeric program, and per-instruction
+    dispatch is the scarce resource (tools/microbench_dispatch.py); padded
+    panel storage and flops are cheap by comparison.  No reference analog —
+    the reference's BLAS calls take any shape for free."""
+    if budget_frac <= 0 or len(groups) <= 1:
+        return groups
+
+    def vol(np_, mb, count):
+        return count * ((np_ + mb) * np_ + mb * mb)
+
+    items = [[np_, mb, list(sids)] for (np_, mb), sids in groups.items()]
+    orig = sum(vol(np_, mb, len(s)) for np_, mb, s in items)
+    budget = budget_frac * orig
+    while len(items) > 1 and budget > 0:
+        best = None
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                ni, mi, si = items[i]
+                nj, mj, sj = items[j]
+                nm, mm = max(ni, nj), max(mi, mj)
+                delta = (vol(nm, mm, len(si)) - vol(ni, mi, len(si))
+                         + vol(nm, mm, len(sj)) - vol(nj, mj, len(sj)))
+                if best is None or delta < best[0]:
+                    best = (delta, i, j, nm, mm)
+        delta, i, j, nm, mm = best
+        if delta > budget:
+            break
+        budget -= delta
+        items[i] = [nm, mm, items[i][2] + items[j][2]]
+        del items[j]
+    out: dict = {}
+    for np_, mb, sids in items:
+        out.setdefault((np_, mb), []).extend(sids)
+    return out
+
+
+def _assign_layout(levels, shapes, ladder: str = "coarse",
+                   bucket_merge: float = 0.0):
     """Bucket supernodes per level by padded shape and assign contiguous
     padded panel offsets in schedule order.
 
@@ -171,6 +216,7 @@ def _assign_layout(levels, shapes, ladder: str = "coarse"):
             mb = ms - ns
             key = (pad(ns), pad(mb) if mb else 0)
             groups.setdefault(key, []).append(s)
+        groups = _merge_level_buckets(groups, bucket_merge)
         per_level_groups.append(groups)
         for key, sids in groups.items():
             class_bs.setdefault(key, []).append(len(sids))
@@ -368,7 +414,8 @@ def super_symbolic(A: SparseCSC, sym: Symbolic,
     shapes = [(int(sn_rowptr[s + 1] - sn_rowptr[s]),
                int(super_[s + 1] - super_[s])) for s in range(nsuper)]
     panel_off, panel_Np, panel_Mp, total, level_buckets, wave_w = \
-        _assign_layout(levels, shapes, ladder=opts.shape_ladder)
+        _assign_layout(levels, shapes, ladder=opts.shape_ladder,
+                       bucket_merge=opts.bucket_merge)
 
     ss = SuperSymbolic(
         n=n, nsuper=nsuper, super=super_, col_to_super=col_to_super,
@@ -376,7 +423,8 @@ def super_symbolic(A: SparseCSC, sym: Symbolic,
         panel_Np=panel_Np, panel_Mp=panel_Mp,
         total=total, sn_parent=sn_parent, levels=levels,
         level_buckets=level_buckets, lnz_dense=total,
-        a_scatter_dst=None, a_scatter_src=None, wave_w=wave_w)
+        a_scatter_dst=None, a_scatter_src=None, wave_w=wave_w,
+        layout_opts=(opts.shape_ladder, opts.bucket_merge))
 
     # --- A scatter map -----------------------------------------------------
     # tril(PAP') entry (i, j) -> normalized padded position in panel of

@@ -71,6 +71,12 @@ class CholeskyOptions:
     # at MXU-class rates
     pf_scatter_bw: float = 1.2e9        # measured TPU scatter class (B/s)
     pf_proj_rate: float = 1e13          # measured projection class (FLOP/s)
+    # pass-forward projection grouping: "pair" fuses ALL children of one
+    # (child shape, parent bucket) pair per level into ONE instruction
+    # (exact child count, segment-sum over children, slab-granular scatter
+    # into the parent bucket region); "chunk" is the round-3-early form
+    # (per parent-chunk windows, pow2 G<=8) kept for A/B.
+    pf_group: str = "pair"
     # auto threshold: use the wave program when the schedule has more
     # buckets than this (compile cost ~linear in bucket count).
     wave_threshold: int = 32
@@ -78,6 +84,13 @@ class CholeskyOptions:
     # distinct shape classes (compile time, dispatch); "fine" pads tighter
     # (less flop/storage waste) at the cost of many more compiled shapes.
     shape_ladder: str = "coarse"
+    # Per-level bucket clustering: merge a level's shape buckets (padding
+    # both dims up) while the padded-volume increase stays under this
+    # fraction of the level's original padded volume.  Cuts the number of
+    # compiled (bucket x parent) instructions — the dispatch-bound resource
+    # on TPU (tools/microbench_dispatch.py) — at a bounded storage/flop
+    # cost.  0 disables.
+    bucket_merge: float = 0.35
     # AMD dense-row handling (amd.h:140-148): rows with > dense*sqrt(n)
     # entries are deferred to the end of the order.
     amd_dense: float = 10.0

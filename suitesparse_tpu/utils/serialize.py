@@ -97,7 +97,9 @@ def _ss_pack(ss, arrays: dict, prefix: str = "") -> dict:
         prefix + "a_dst": ss.a_scatter_dst,
         prefix + "a_src": ss.a_scatter_src,
     })
-    return dict(n=ss.n, nsuper=ss.nsuper, total=int(ss.total))
+    return dict(n=ss.n, nsuper=ss.nsuper, total=int(ss.total),
+                ladder=ss.layout_opts[0],
+                bucket_merge=float(ss.layout_opts[1]))
 
 
 def _ss_load(meta: dict, arr: dict, prefix: str = ""):
@@ -119,7 +121,9 @@ def _ss_load(meta: dict, arr: dict, prefix: str = ""):
     shapes = [(int(sn_rowptr[s + 1] - sn_rowptr[s]),
                int(super_[s + 1] - super_[s])) for s in range(nsuper)]
     panel_off, panel_Np, panel_Mp, total, level_buckets, wave_w = \
-        _assign_layout(levels, shapes)
+        _assign_layout(levels, shapes,
+                       ladder=meta.get("ladder", "coarse"),
+                       bucket_merge=float(meta.get("bucket_merge", 0.0)))
     assert total == meta["total"], "layout mismatch on load"
     ss = SuperSymbolic(n=meta["n"], nsuper=nsuper, super=super_,
                        col_to_super=arr[prefix + "col_to_super"],
@@ -129,7 +133,9 @@ def _ss_load(meta: dict, arr: dict, prefix: str = ""):
                        sn_parent=arr[prefix + "sn_parent"], levels=levels,
                        level_buckets=level_buckets,
                        lnz_dense=total, a_scatter_dst=arr[prefix + "a_dst"],
-                       a_scatter_src=arr[prefix + "a_src"], wave_w=wave_w)
+                       a_scatter_src=arr[prefix + "a_src"], wave_w=wave_w,
+                       layout_opts=(meta.get("ladder", "coarse"),
+                                    float(meta.get("bucket_merge", 0.0))))
     return ss, build_plan(ss)
 
 
