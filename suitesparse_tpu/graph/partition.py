@@ -60,6 +60,16 @@ def _heavy_edge_matching(G, rng):
     """Greedy heavy-edge matching; returns coarse map cmap (n -> nc)."""
     n = G.shape[0]
     order = rng.permutation(n)
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "sstpu_heavy_matching"):
+        cmap = np.empty(n, dtype=np.int64)
+        nc = lib.sstpu_heavy_matching(
+            n, np.ascontiguousarray(G.indptr, dtype=np.int64),
+            np.ascontiguousarray(G.indices, dtype=np.int64),
+            np.ascontiguousarray(G.data, dtype=np.float64),
+            np.ascontiguousarray(order, dtype=np.int64), cmap)
+        return cmap.astype(INDEX, copy=False), int(nc)
     matched = np.full(n, -1, dtype=INDEX)
     for v in order:
         if matched[v] != -1:
@@ -148,6 +158,17 @@ def _fm_refine(G, vwt, part, tolerance, target, passes, rng):
     total = vwt.sum()
     lo_w = (target - tolerance) * total
     hi_w = (target + tolerance) * total
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "sstpu_fm_refine"):
+        p8 = np.ascontiguousarray(part, dtype=np.int8)
+        cut = lib.sstpu_fm_refine(
+            n, np.ascontiguousarray(G.indptr, dtype=np.int64),
+            np.ascontiguousarray(G.indices, dtype=np.int64),
+            np.ascontiguousarray(G.data, dtype=np.float64),
+            np.ascontiguousarray(vwt, dtype=np.float64), p8,
+            float(lo_w), float(hi_w), int(passes))
+        return p8.astype(part.dtype, copy=False), float(cut)
     indptr, indices, data = G.indptr, G.indices, G.data
 
     best_part = part.copy()

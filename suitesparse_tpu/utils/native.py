@@ -91,6 +91,12 @@ def _register_optional(lib):
         ("sstpu_klu_refactor",
          [c_i64, p_i64, p_i64, ctypes.c_void_p, p_i64, p_i64, p_i64,
           ctypes.c_void_p, p_i64, p_i64, ctypes.c_void_p, c_i64], c_i64),
+        ("sstpu_heavy_matching",
+         [c_i64, p_i64, p_i64, p_dbl, p_i64, p_i64], c_i64),
+        ("sstpu_fm_refine",
+         [c_i64, p_i64, p_i64, p_dbl, p_dbl,
+          np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+          c_dbl, c_dbl, c_i64], c_dbl),
     ]:
         try:
             fn = getattr(lib, name)

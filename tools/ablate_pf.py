@@ -47,14 +47,14 @@ def build(name):
 
 
 def make_program(pfp, variant):
-    from suitesparse_tpu.cholesky.pf import _proj_branch
+    from suitesparse_tpu.cholesky.pf import _proj_branch, _pair_branch
 
     unrolled = variant.startswith("u-")
     if unrolled:
         variant = variant[2:]
 
-    fops, pops = pfp.arrays(np.float32)
-    fmeta, pmeta = pfp.meta
+    fops, pops, qops = pfp.arrays(np.float32)
+    fmeta, pmeta, qmeta = pfp.meta
     nf = len(fmeta)
     instr_cls, instr_pos = np.asarray(pfp.instr_cls), np.asarray(pfp.instr_pos)
     if variant == "noproj":
@@ -125,6 +125,48 @@ def make_program(pfp, variant):
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
             _proj_branch(Wc, Mbc, Wp, Npt, Mbt, G), ops)
         for ops, (Wc, Mbc, Wp, Npt, Mbt, G) in zip(pops, pmeta)]
+    def pair_branch_staged(Mbc, G, Pq, Npt, Mbt):
+        """Stages of the pair projection for attribution: qgather0 = slab
+        gather only; qgather1 = + row gather/one-hot; qeinsum = + einsums
+        (scatter-add dropped).  All numerically WRONG except full."""
+        Mft = Npt + Mbt
+
+        def br(Fx, pos, ops):
+            dtype = Fx.dtype
+            uoff = ops["uoff"][pos]
+            idxf = ops["idxf"][pos]
+            Uc = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(Fx, (o,), (Mbc * Mbc,)))(
+                uoff.reshape(-1))
+            Uc = Uc.reshape(Pq, G, Mbc, Mbc)
+            if variant == "qgather0":
+                return Fx.at[0].add(jnp.sum(Uc[:, :, 0, 0]))
+            Ucz = jnp.concatenate(
+                [Uc, jnp.zeros((Pq, G, 1, Mbc), dtype=dtype)], axis=2)
+            R = jnp.take_along_axis(Ucz, idxf[:, :, :, None], axis=2)
+            mcols = jnp.arange(Mbc, dtype=jnp.int32)
+            Wh = (idxf[:, :, :, None] == mcols).astype(dtype)
+            if variant == "qgather1":
+                return Fx.at[0].add(jnp.sum(R[:, :, 0, 0])
+                                    + jnp.sum(Wh[:, :, 0, 0]))
+            S = jnp.einsum("pgfm,pghm->pfh", R, Wh[:, :, :Npt, :],
+                           preferred_element_type=dtype)
+            acc = jnp.sum(S[:, 0, 0])
+            if Mbt:
+                St = jnp.einsum("pgfm,pghm->pfh", R[:, :, Npt:, :],
+                                Wh[:, :, Npt:, :],
+                                preferred_element_type=dtype)
+                acc = acc + jnp.sum(St[:, 0, 0])
+            return Fx.at[0].add(acc)        # qeinsum: scatters dropped
+        return br
+
+    qmk = (pair_branch_staged
+           if variant in ("qgather0", "qgather1", "qeinsum")
+           else _pair_branch)
+    branches += [
+        (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
+            qmk(Mbc, G, Pq, Npt, Mbt), ops)
+        for ops, (Mbc, G, Pq, Npt, Mbt) in zip(qops, qmeta)]
 
     ic = jnp.asarray(instr_cls)
     ip = jnp.asarray(instr_pos)
