@@ -504,6 +504,48 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
 # Device program
 # ---------------------------------------------------------------------------
 
+def _tri_inv_pow2(C, base=8):
+    """Batched lower-triangular inverse via batch-folded block recursion.
+
+    XLA's triangular_solve on TPU is a sequential While over columns, so a
+    (W, Np, Np) TRSM costs ~Np dispatch steps regardless of W (measured
+    tools/microbench_dense.py) — the dominant factor-branch cost at small
+    Np.  This computes L^-1 with ONE base-size triangular_solve on the
+    folded batch (all diagonal base blocks at once) plus log2(Np/base)
+    levels of batched MXU matmuls:
+
+        inv([[A,0],[B,D]]) = [[iA, 0], [-iD B iA, iD]]
+
+    and the TRSM then becomes a single einsum against L^-T.  Np must be
+    base * 2^k (the coarse shape ladder guarantees 8/32/128)."""
+    W, Np, _ = C.shape
+    blocks = C
+    stack = []
+    m = Np
+    while m > base:
+        h = m // 2
+        stack.append(blocks[:, h:, :h])
+        blocks = jnp.concatenate(
+            [blocks[:, :h, :h], blocks[:, h:, h:]], axis=0)
+        m = h
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=C.dtype), blocks.shape)
+    inv = jax.lax.linalg.triangular_solve(
+        blocks, eye, left_side=True, lower=True)
+    while stack:
+        Bblk = stack.pop()
+        half = inv.shape[0] // 2
+        iA, iD = inv[:half], inv[half:]
+        iB = -jnp.einsum("bij,bjk,bkl->bil", iD, Bblk, iA,
+                         preferred_element_type=C.dtype)
+        h = Bblk.shape[2]
+        top = jnp.concatenate(
+            [iA, jnp.zeros((half, h, Bblk.shape[1]), dtype=C.dtype)],
+            axis=2)
+        bot = jnp.concatenate([iB, iD], axis=2)
+        inv = jnp.concatenate([top, bot], axis=1)
+    return inv
+
+
 def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16):
     Mp = Np + Mb
 
@@ -520,9 +562,15 @@ def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16):
         Tfull = Tfull + jax.vmap(jnp.diag)(pe)
         C = jnp.linalg.cholesky(Tfull)
         if Mb:
-            Bm = P[:, Np:, :]
-            Bm = jax.lax.linalg.triangular_solve(
-                C, Bm, left_side=False, lower=True, transpose_a=True)
+            if 8 < Np <= 128:
+                # latency-bound regime: TRSM via explicit L^-1 + one einsum
+                Linv = _tri_inv_pow2(C)
+                Bm = jnp.einsum("bmj,bij->bmi", P[:, Np:, :], Linv,
+                                preferred_element_type=Fx.dtype)
+            else:
+                Bm = jax.lax.linalg.triangular_solve(
+                    C, P[:, Np:, :], left_side=False, lower=True,
+                    transpose_a=True)
             Bs = Bm.astype(jnp.bfloat16) if syrk_bf16 else Bm
             U = jnp.einsum("bik,bjk->bij", Bs, Bs,
                            preferred_element_type=Fx.dtype)
@@ -606,7 +654,7 @@ def _slab_scatter_add(Fx, dst, updates):
         mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
 
-def _pair_branch(Mbc, G, Pq, Npt, Mbt):
+def _pair_branch(Mbc, G, Pq, Npt, Mbt, bf16=False):
     """Pair-grouped projection: parent-blocked contraction.  Each parent's
     children (padded to pow2 G) ride the einsum contraction axis, so the
     placement patch materializes PER PARENT — (Pq,Mft,Npt) — never per
@@ -629,8 +677,14 @@ def _pair_branch(Mbc, G, Pq, Npt, Mbt):
         Ucz = jnp.concatenate(
             [Uc, jnp.zeros((Pq, G, 1, Mbc), dtype=dtype)], axis=2)
         R = jnp.take_along_axis(Ucz, idxf[:, :, :, None], axis=2)
+        # placement one-hots carry exact 0/1 values, so running the MXU
+        # contraction in bf16 only rounds the UPDATE entries (~2^-8
+        # relative) with f32 accumulation — the mixed-precision knob that
+        # pairs with iterative refinement (same contract as syrk_bf16)
+        edt = jnp.bfloat16 if bf16 else dtype
+        R = R.astype(edt)
         mcols = jnp.arange(Mbc, dtype=jnp.int32)
-        Wh = (idxf[:, :, :, None] == mcols).astype(dtype)   # (Pq,G,Mft,Mbc)
+        Wh = (idxf[:, :, :, None] == mcols).astype(edt)     # (Pq,G,Mft,Mbc)
         S = jnp.einsum("pgfm,pghm->pfh", R, Wh[:, :, :Npt, :],
                        preferred_element_type=dtype)        # (Pq,Mft,Npt)
         Fx = _slab_scatter_add(Fx, ops["pdst"][pos],
@@ -659,7 +713,7 @@ def _pf_branches(class_ops, meta, syrk_bf16):
         for ops, (Wc, Mbc, Wp, Npt, Mbt, G) in zip(pops, pmeta)]
     branches += [
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
-            _pair_branch(Mbc, G, Pq, Npt, Mbt), ops)
+            _pair_branch(Mbc, G, Pq, Npt, Mbt, syrk_bf16), ops)
         for ops, (Mbc, G, Pq, Npt, Mbt) in zip(qops, qmeta)]
     return branches
 

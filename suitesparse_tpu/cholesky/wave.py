@@ -352,6 +352,21 @@ def wave_numeric(vals, wp: WavePlan, dtype, syrk_bf16=False):
 # Solve programs (super_lsolve / super_ltsolve as scanned waves)
 # ---------------------------------------------------------------------------
 
+def _tri_apply(C, xc, transpose):
+    """Batched triangular solve of (W,Np,k) against (W,Np,Np): for the
+    latency-bound small-Np classes, solve via the batch-folded explicit
+    inverse (pf._tri_inv_pow2) + one einsum — XLA's triangular_solve is a
+    sequential While over Np columns regardless of W."""
+    Np = C.shape[1]
+    if 8 < Np <= 128:
+        from .pf import _tri_inv_pow2
+        Linv = _tri_inv_pow2(C)
+        eq = "bji,bjk->bik" if transpose else "bij,bjk->bik"
+        return jnp.einsum(eq, Linv, xc, preferred_element_type=xc.dtype)
+    return jax.lax.linalg.triangular_solve(
+        C, xc, left_side=True, lower=True, transpose_a=transpose)
+
+
 def _lsolve_branch(Np, Mb, W, CL, CK, RL, RK):
     Mp = Np + Mb
 
@@ -363,8 +378,7 @@ def _lsolve_branch(Np, Mb, W, CL, CK, RL, RK):
         P = P.reshape(W, Mp, Np)
         C = P[:, :Np, :] + jax.vmap(jnp.diag)(pe)
         xc = x[ops["colidx"][pos]]
-        xc = jax.lax.linalg.triangular_solve(C, xc, left_side=True,
-                                             lower=True)
+        xc = _tri_apply(C, xc, transpose=False)
         k = x.shape[-1]
         x = x.at[ops["c_dst"][pos]].set(
             xc.reshape(-1, k)[ops["c_src"][pos]],
@@ -400,8 +414,7 @@ def _ltsolve_branch(Np, Mb, W, CL, CK, RL, RK):
             xr = x[ops["rowidx"][pos]]
             xc = xc - jnp.einsum("bmc,bmk->bck", Bm, xr,
                                  preferred_element_type=x.dtype)
-        xc = jax.lax.linalg.triangular_solve(C, xc, left_side=True,
-                                             lower=True, transpose_a=True)
+        xc = _tri_apply(C, xc, transpose=True)
         k = x.shape[-1]
         x = x.at[ops["c_dst"][pos]].set(
             xc.reshape(-1, k)[ops["c_src"][pos]],
