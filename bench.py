@@ -194,7 +194,7 @@ def main():
 
     names = os.environ.get("BENCH_MATRIX", "").split(",") if \
         os.environ.get("BENCH_MATRIX") else (
-        ["bcsstk16", "lap3d_28", "lap3d_44"] if platform == "tpu"
+        ["bcsstk16", "lap3d_28", "lap3d_44", "lap3d_64"] if platform == "tpu"
         else ["bcsstk16", "lap3d_12"])
     results = []
     for name in names:

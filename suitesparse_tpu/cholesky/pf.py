@@ -197,6 +197,10 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
 
     # --- per-bucket mode + instruction enumeration ------------------------
     CAP = 24 << 20       # working floats per instruction slice
+    # projection workspace budget: generous for small factors (fewer,
+    # fatter instructions), tight when the factor buffer itself is HBM-
+    # scale (lap3d_64's 7 GB buffer + 1.2 GB workspace OOM'd a 16 GB chip)
+    PCAP = 4 * CAP if total * 4 < (2 << 30) else CAP
     f_instrs = []        # (key, ops) in schedule order, tag 'f'
     p_instrs = []        # (key, ops) tag 'p'
     q_instrs = []        # (key, ops) tag 'q' (pair-grouped projections)
@@ -347,69 +351,82 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
         # (P,Mft,Npt), never per child.  Parents are classed by pow2(G) and
         # chunked into contiguous slot windows; children may come from any
         # same-Mb bucket of the level (global slab gather by offset).
-        for (Mbc, Npt, Mbt), par in sorted(lv_pairs.items()):
+        for (Mbc, Npt, Mbt), par_all in sorted(lv_pairs.items()):
             Mft = Npt + Mbt
-            # G partition, cost-modelled: either ONE class padded to the
-            # pair's Gmax, or a pow2 ladder of classes.  Padded G rows are
-            # zeros (flops+data), extra classes are extra instructions
-            # (~30us dispatch each) — pick the cheaper predicted time.
-            gs = [len(v) for v in par.values()]
-            gmax = _pow2ceil(max(gs))
-            pad_single = sum(gmax - g for g in gs)
-            pad_pow2 = sum(_pow2ceil(g) - g for g in gs)
-            ncls_pow2 = len({_pow2ceil(g) for g in gs})
-            unit_cost = 2.0 * Mbc * (Mft * Npt + Mbt * Mbt) / 3e13 \
-                + 2.0 * Mft * Mbc * 4 / 5e11
-            single = (pad_single - pad_pow2) * unit_cost \
-                < (ncls_pow2 - 1) * 30e-6
-            by_g = {}
-            for bs in sorted(par):
-                g = gmax if single else _pow2ceil(len(par[bs]))
-                by_g.setdefault(g, []).append((bs, par[bs]))
-            for G, plist in sorted(by_g.items()):
-                unit = G * Mft * 2 * Mbc + G * Mbc * Mbc \
-                    + 2 * Mft * Npt + Mbt * Mbt
-                cap_p = max(1, (8 * CAP) // unit)
-                for p0 in range(0, len(plist), cap_p):
-                    ppart = plist[p0:p0 + cap_p]
-                    P = len(ppart)
-                    Pq = _pow2ceil(P)
-                    uoff = np.zeros((Pq, G), dtype=INDEX)
-                    idxf = np.full((Pq, G, Mft), Mbc, dtype=np.int32)
-                    # absolute slab destinations; parent pads point past
-                    # the buffer end and are dropped by the scatter mode
-                    pdst = np.full(Pq, 1 << 40, dtype=INDEX)
-                    udst = np.full(Pq, 1 << 40, dtype=INDEX)
-                    for k, ((bj, sp), childs) in enumerate(ppart):
-                        pb = plan.levels[li + 1][bj]
-                        pdst[k] = pb.base + sp * Mft * Npt
-                        udst[k] = ub_base.get((li + 1, bj), 0) \
-                            + sp * Mbt * Mbt
-                        t = childs[0][2]
-                        rows_t = rows_of[t]
-                        ns_t = int(sup[t + 1] - sup[t])
-                        uoff[k, :] = childs[0][0]
-                        for g, (uo, s, _t) in enumerate(childs):
-                            uoff[k, g] = uo
-                            ms, ns = ss.panel_shape(s)
-                            mb = ms - ns
-                            r = rows_of[s][ns:]
-                            loc = np.searchsorted(rows_t, r)
-                            ok = loc < len(rows_t)
-                            locc = np.clip(loc, 0, max(len(rows_t) - 1, 0))
-                            ok &= rows_t[locc] == r
-                            assert ok.all(), "containment violated"
-                            fpos = np.where(locc < ns_t, locc,
-                                            Npt + (locc - ns_t))
-                            idxf[k, g, fpos] = np.arange(mb, dtype=np.int32)
-                            proj_flops += 2.0 * Mft * Npt * Mbc \
-                                + 2.0 * Mbt * Mbt * Mbc
-                    uoff[P:] = uoff[0, 0]  # pads read a real slab; their
-                    # idxf rows select the zero row -> contribute nothing
-                    ops = dict(uoff=uoff, idxf=idxf, pdst=pdst, udst=udst)
-                    key = (Mbc, G, Pq, Npt, Mbt)
-                    stream.append(("q", len(q_instrs)))
-                    q_instrs.append((key, ops))
+            # G-axis workspace cap: a single parent with many children can
+            # exceed the budget at any P, so children beyond gcap go to
+            # follow-up ROUNDS (same parent, separate instructions — the
+            # scatter-adds accumulate, and per-round uniqueness holds)
+            unit_g = Mft * 2 * Mbc + Mbc * Mbc + 2 * Mft * Npt \
+                + Mbt * Mbt
+            gcap = 1
+            while gcap * 2 * unit_g <= PCAP:
+                gcap *= 2
+            rounds = max(-(-len(v) // gcap) for v in par_all.values())
+            for rnd in range(rounds):
+              par = {bs: v[rnd * gcap:(rnd + 1) * gcap]
+                     for bs, v in par_all.items() if len(v) > rnd * gcap}
+              # G partition, cost-modelled: either ONE class padded to the
+              # pair's Gmax, or a pow2 ladder of classes.  Padded G rows
+              # are zeros (flops+data), extra classes are extra
+              # instructions (~30us dispatch) — pick the cheaper time.
+              gs = [len(v) for v in par.values()]
+              gmax = _pow2ceil(max(gs))
+              pad_single = sum(gmax - g for g in gs)
+              pad_pow2 = sum(_pow2ceil(g) - g for g in gs)
+              ncls_pow2 = len({_pow2ceil(g) for g in gs})
+              unit_cost = 2.0 * Mbc * (Mft * Npt + Mbt * Mbt) / 3e13 \
+                  + 2.0 * Mft * Mbc * 4 / 5e11
+              single = (pad_single - pad_pow2) * unit_cost \
+                  < (ncls_pow2 - 1) * 30e-6
+              by_g = {}
+              for bs in sorted(par):
+                  g = gmax if single else _pow2ceil(len(par[bs]))
+                  by_g.setdefault(g, []).append((bs, par[bs]))
+              for G, plist in sorted(by_g.items()):
+                  unit = G * Mft * 2 * Mbc + G * Mbc * Mbc \
+                      + 2 * Mft * Npt + Mbt * Mbt
+                  cap_p = max(1, PCAP // unit)
+                  for p0 in range(0, len(plist), cap_p):
+                      ppart = plist[p0:p0 + cap_p]
+                      P = len(ppart)
+                      Pq = _pow2ceil(P)
+                      uoff = np.zeros((Pq, G), dtype=INDEX)
+                      idxf = np.full((Pq, G, Mft), Mbc, dtype=np.int32)
+                      # absolute slab destinations; parent pads point past
+                      # the buffer end and are dropped by the scatter mode
+                      pdst = np.full(Pq, 1 << 40, dtype=INDEX)
+                      udst = np.full(Pq, 1 << 40, dtype=INDEX)
+                      for k, ((bj, sp), childs) in enumerate(ppart):
+                          pb = plan.levels[li + 1][bj]
+                          pdst[k] = pb.base + sp * Mft * Npt
+                          udst[k] = ub_base.get((li + 1, bj), 0) \
+                              + sp * Mbt * Mbt
+                          t = childs[0][2]
+                          rows_t = rows_of[t]
+                          ns_t = int(sup[t + 1] - sup[t])
+                          uoff[k, :] = childs[0][0]
+                          for g, (uo, s, _t) in enumerate(childs):
+                              uoff[k, g] = uo
+                              ms, ns = ss.panel_shape(s)
+                              mb = ms - ns
+                              r = rows_of[s][ns:]
+                              loc = np.searchsorted(rows_t, r)
+                              ok = loc < len(rows_t)
+                              locc = np.clip(loc, 0, max(len(rows_t) - 1, 0))
+                              ok &= rows_t[locc] == r
+                              assert ok.all(), "containment violated"
+                              fpos = np.where(locc < ns_t, locc,
+                                              Npt + (locc - ns_t))
+                              idxf[k, g, fpos] = np.arange(mb, dtype=np.int32)
+                              proj_flops += 2.0 * Mft * Npt * Mbc \
+                                  + 2.0 * Mbt * Mbt * Mbc
+                      uoff[P:] = uoff[0, 0]  # pads read a real slab; their
+                      # idxf rows select the zero row -> contribute nothing
+                      ops = dict(uoff=uoff, idxf=idxf, pdst=pdst, udst=udst)
+                      key = (Mbc, G, Pq, Npt, Mbt)
+                      stream.append(("q", len(q_instrs)))
+                      q_instrs.append((key, ops))
 
     # --- stack operands per class -----------------------------------------
     def stack(instrs, pad_scat=False):

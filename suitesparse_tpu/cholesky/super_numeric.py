@@ -597,7 +597,7 @@ def solve_super(f: SuperFactor, b: np.ndarray, system: str = "A",
     k = bk.shape[1]
     perm = f.perm
     if plan.use_wave(common):
-        from .wave import wave_lsolve, wave_ltsolve
+        from .wave import wave_lsolve, wave_ltsolve, wave_solve_llt
         # pf factors reuse the wave solve; only the solve maps are needed
         wp = plan.wave_plan(
             solve_only=plan.resolve_program(common) == "pf"
@@ -605,6 +605,16 @@ def solve_super(f: SuperFactor, b: np.ndarray, system: str = "A",
         xrows = n + wp.xpad
         lsolve = lambda Lx, x: wave_lsolve(wp, Lx, x)          # noqa: E731
         ltsolve = lambda Lx, x: wave_ltsolve(wp, Lx, x)        # noqa: E731
+        if system == "A":
+            x = wave_solve_llt(wp, f.Lx, jnp.asarray(bk[perm]))
+            xh = np.asarray(x[:n])
+            out = np.empty_like(xh)
+            out[perm] = xh
+            return out.reshape(-1) if one_d else out
+        if system in ("LLt", "LDLt"):
+            x = wave_solve_llt(wp, f.Lx, jnp.asarray(bk))
+            out = np.asarray(x[:n])
+            return out.reshape(-1) if one_d else out
     else:
         xrows = n + 1
         la = plan.solve_arrays(f.dtype)

@@ -413,9 +413,15 @@ def super_symbolic(A: SparseCSC, sym: Symbolic,
     # --- padded bucket-contiguous panel layout ----------------------------
     shapes = [(int(sn_rowptr[s + 1] - sn_rowptr[s]),
                int(super_[s + 1] - super_[s])) for s in range(nsuper)]
+    # bucket merging trades HBM for fewer instructions; at HBM-scale
+    # factors (>~2 GB unpadded) the trade flips — tighten the budget so
+    # the padded buffer still fits a 16 GB chip with program workspace
+    est = sum(ms * ns for ms, ns in shapes)
+    bmerge = opts.bucket_merge if est * 4 < (256 << 20) \
+        else min(opts.bucket_merge, 0.10)
     panel_off, panel_Np, panel_Mp, total, level_buckets, wave_w = \
         _assign_layout(levels, shapes, ladder=opts.shape_ladder,
-                       bucket_merge=opts.bucket_merge)
+                       bucket_merge=bmerge)
 
     ss = SuperSymbolic(
         n=n, nsuper=nsuper, super=super_, col_to_super=col_to_super,
@@ -424,7 +430,7 @@ def super_symbolic(A: SparseCSC, sym: Symbolic,
         total=total, sn_parent=sn_parent, levels=levels,
         level_buckets=level_buckets, lnz_dense=total,
         a_scatter_dst=None, a_scatter_src=None, wave_w=wave_w,
-        layout_opts=(opts.shape_ladder, opts.bucket_merge))
+        layout_opts=(opts.shape_ladder, bmerge))
 
     # --- A scatter map -----------------------------------------------------
     # tril(PAP') entry (i, j) -> normalized padded position in panel of

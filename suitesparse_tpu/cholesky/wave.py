@@ -462,6 +462,55 @@ def _solve_form():
     return os.environ.get("SSTPU_PF_FORM", "unroll")
 
 
+@functools.partial(jax.jit, static_argnums=(2, 4, 5, 6))
+def _wave_solve_llt(Lx, bk, seq, class_ops, meta, xrows, scan):
+    """The FULL A-system substitution pair (pad -> L-solve -> Lt-solve) as
+    ONE compiled program.  Per-call dispatch through the remote tunnel is
+    ~2-5 ms (tools/microbench_dispatch.py), so the previous three-call
+    chain (pad, lsolve, ltsolve) put a ~10 ms floor under every solve —
+    larger than the entire substitution work for most matrices."""
+    n, k = bk.shape
+    x = jnp.zeros((xrows, k), dtype=Lx.dtype)
+    x = x.at[:n, :].set(bk.astype(Lx.dtype))
+    bl = [
+        (lambda brf, ops: (lambda x, pos: brf((Lx, x), pos, ops)[1]))(
+            _lsolve_branch(Np, Mb, W, CL, CK, RL, RK), ops)
+        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK) in zip(class_ops, meta)]
+    bt = [
+        (lambda brf, ops: (lambda x, pos: brf((Lx, x), pos, ops)[1]))(
+            _ltsolve_branch(Np, Mb, W, CL, CK, RL, RK), ops)
+        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK) in zip(class_ops, meta)]
+    if scan:
+        ic = jnp.asarray([c for c, _ in seq])
+        ip = jnp.asarray([p for _, p in seq])
+
+        def body_l(x, xs):
+            cid, pos = xs
+            return jax.lax.switch(cid, bl, x, pos), None
+
+        def body_t(x, xs):
+            cid, pos = xs
+            return jax.lax.switch(cid, bt, x, pos), None
+
+        x, _ = jax.lax.scan(body_l, x, (ic, ip))
+        x, _ = jax.lax.scan(body_t, x, (ic[::-1], ip[::-1]))
+        return x
+    for cid, pos in seq:
+        x = bl[cid](x, pos)
+    for cid, pos in reversed(seq):
+        x = bt[cid](x, pos)
+    return x
+
+
+def wave_solve_llt(wp: WavePlan, Lx, bk):
+    """Fused L then Lt substitution; bk is the (n, k) permuted RHS."""
+    ops = wp.solve_arrays(Lx.dtype)
+    seq = tuple((int(c), int(p))
+                for c, p in zip(wp.instr_cls, wp.instr_pos))
+    return _wave_solve_llt(Lx, bk, seq, ops, wp.meta,
+                           wp.plan.n + wp.xpad, _solve_form() == "scan")
+
+
 def wave_lsolve(wp: WavePlan, Lx, x):
     ops = wp.solve_arrays(Lx.dtype)
     if _solve_form() == "scan":
