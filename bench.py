@@ -47,16 +47,26 @@ def readback(x):
 
 def timed(fn, repeats):
     """(single_s, amortized_s): one call with readback, then `repeats`
-    queued calls with one readback at the end (steady-state throughput)."""
+    calls with one readback at the end (steady-state throughput).  Calls
+    taking >0.2 s read back EVERY iteration: queuing async calls keeps
+    several executions' output buffers live at once, which OOMs HBM-scale
+    factors (two 5.3 GB buffers + temps on lap3d_64)."""
     out = fn()
     readback(out)
     t0 = time.perf_counter()
     out = fn()
     readback(out)
     single = time.perf_counter() - t0
+    serialize = single > 0.2
     t0 = time.perf_counter()
     for _ in range(repeats):
+        if serialize:
+            out = None      # drop the previous buffer BEFORE the next
+            # call: rebinding after fn() would keep two HBM-scale factor
+            # buffers live at once
         out = fn()
+        if serialize:
+            readback(out)
     readback(out)
     amort = (time.perf_counter() - t0) / repeats
     return single, amort
