@@ -71,7 +71,7 @@ class PFPlan:
     fops: list          # per factor class: dict of stacked host arrays
     pmeta: tuple        # per proj class: (Wc, Mbc, Wp, Npt, Mbt, G)
     pops: list          # per proj class: dict of stacked host arrays
-    qmeta: tuple = ()   # per PAIR class: (Mbc, NC, P, Npt, Mbt, RWb)
+    qmeta: tuple = ()   # per PAIR class: (Mbc, G, Pq, Npt, Mbt)
     qops: list = dataclasses.field(default_factory=list)
     instr_cls: np.ndarray = None  # class id per instruction: [f | p | q]
     instr_pos: np.ndarray = None  # position within the class stack
@@ -394,9 +394,15 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                       uoff = np.zeros((Pq, G), dtype=INDEX)
                       idxf = np.full((Pq, G, Mft), Mbc, dtype=np.int32)
                       # absolute slab destinations; parent pads point past
-                      # the buffer end and are dropped by the scatter mode
-                      pdst = np.full(Pq, 1 << 40, dtype=INDEX)
-                      udst = np.full(Pq, 1 << 40, dtype=INDEX)
+                      # the buffer end and are dropped by the scatter mode.
+                      # Pad sentinels are DISTINCT (and ascending) so the
+                      # scatter's unique_indices promise holds even before
+                      # FILL_OR_DROP discards them — duplicate indices are
+                      # undefined behavior under that promise.
+                      pdst = ((1 << 40)
+                              + np.arange(Pq, dtype=INDEX) * (Mft * Npt))
+                      udst = ((1 << 40)
+                              + np.arange(Pq, dtype=INDEX) * max(Mbt * Mbt, 1))
                       for k, ((bj, sp), childs) in enumerate(ppart):
                           pb = plan.levels[li + 1][bj]
                           pdst[k] = pb.base + sp * Mft * Npt
@@ -563,7 +569,17 @@ def _tri_inv_pow2(C, base=8):
     return inv
 
 
-def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16):
+def _tri_inv_enabled() -> bool:
+    """Env toggle for the explicit-inverse TRSM path (checked at trace
+    time).  ``SSTPU_TRSM_INV=0`` falls back to the backward-stable
+    ``triangular_solve`` for every class — the explicit inverse loses
+    accuracy on ill-conditioned diagonal blocks (measured impact recorded
+    in ACCURACY.md)."""
+    import os
+    return os.environ.get("SSTPU_TRSM_INV", "1") != "0"
+
+
+def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv=True):
     Mp = Np + Mb
 
     def br(Fx, pos, ops):
@@ -579,7 +595,7 @@ def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16):
         Tfull = Tfull + jax.vmap(jnp.diag)(pe)
         C = jnp.linalg.cholesky(Tfull)
         if Mb:
-            if 8 < Np <= 128:
+            if 8 < Np <= 128 and tri_inv:
                 # latency-bound regime: TRSM via explicit L^-1 + one einsum
                 Linv = _tri_inv_pow2(C)
                 Bm = jnp.einsum("bmj,bij->bmi", P[:, Np:, :], Linv,
@@ -717,12 +733,12 @@ def _pair_branch(Mbc, G, Pq, Npt, Mbt, bf16=False):
     return br
 
 
-def _pf_branches(class_ops, meta, syrk_bf16):
+def _pf_branches(class_ops, meta, syrk_bf16, tri_inv=True):
     fops, pops, qops = class_ops
     fmeta, pmeta, qmeta = meta
     branches = [
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
-            _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16), ops)
+            _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv), ops)
         for ops, (Np, Mb, W, mode, L, K) in zip(fops, fmeta)]
     branches += [
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
@@ -735,9 +751,9 @@ def _pf_branches(class_ops, meta, syrk_bf16):
     return branches
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _pf_program_scan(vals, a_src, a_dst, instr, class_ops, meta, buf,
-                     syrk_bf16=False):
+                     syrk_bf16=False, tri_inv=True):
     """Scanned form: compile O(#classes), but lax.scan+switch double-
     buffers the whole carry every step — measured 1.65 ms/instruction on
     v5e (tools/ablate_pf.py), which dwarfs the compute.  Kept as the
@@ -745,7 +761,7 @@ def _pf_program_scan(vals, a_src, a_dst, instr, class_ops, meta, buf,
     Fx = jnp.zeros(buf, dtype=vals.dtype)
     Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
                           unique_indices=True, mode="promise_in_bounds")
-    branches = _pf_branches(class_ops, meta, syrk_bf16)
+    branches = _pf_branches(class_ops, meta, syrk_bf16, tri_inv)
 
     def body(Fx, xs):
         cid, pos = xs
@@ -755,16 +771,16 @@ def _pf_program_scan(vals, a_src, a_dst, instr, class_ops, meta, buf,
     return Fx
 
 
-@functools.partial(jax.jit, static_argnums=(3, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(3, 5, 6, 7, 8))
 def _pf_program_unroll(vals, a_src, a_dst, instr, class_ops, meta, buf,
-                       syrk_bf16=False):
+                       syrk_bf16=False, tri_inv=True):
     """Straight-line instruction sequence: XLA updates the factor buffer
     in place (no per-step carry copy).  Measured 4.7x faster than the
     scanned form on lap3d_28 AND 3x faster to compile."""
     Fx = jnp.zeros(buf, dtype=vals.dtype)
     Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
                           unique_indices=True, mode="promise_in_bounds")
-    branches = _pf_branches(class_ops, meta, syrk_bf16)
+    branches = _pf_branches(class_ops, meta, syrk_bf16, tri_inv)
     for cid, pos in instr:
         Fx = branches[cid](Fx, pos)
     return Fx
@@ -783,12 +799,13 @@ def pf_numeric(vals, pfp: PFPlan, dtype, syrk_bf16=False, form=None):
     if form is None:
         import os
         form = os.environ.get("SSTPU_PF_FORM", "unroll")
+    tri_inv = _tri_inv_enabled()
     if form == "scan":
         return _pf_program_scan(jnp.asarray(vals, dtype=dtype), amaps[0],
                                 amaps[1], pfp.instr, ops, pfp.meta, pfp.buf,
-                                syrk_bf16)
+                                syrk_bf16, tri_inv)
     seq = tuple((int(c), int(p))
                 for c, p in zip(pfp.instr_cls, pfp.instr_pos))
     return _pf_program_unroll(jnp.asarray(vals, dtype=dtype), amaps[0],
                               amaps[1], seq, ops, pfp.meta, pfp.buf,
-                              syrk_bf16)
+                              syrk_bf16, tri_inv)

@@ -472,6 +472,13 @@ def factorize_super(A: SparseCSC, sym: Symbolic, ss: SuperSymbolic,
     """Numeric supernodal LL' of PAP' (values change, pattern fixed)."""
     cm = common or default_common()
     cm.checkpoint("super_numeric")
+    if np.iscomplexobj(A.data) or (dtype is not None
+                                   and np.issubdtype(np.dtype(dtype),
+                                                     np.complexfloating)):
+        raise TypeError(
+            "supernodal programs are real-only (no conjugate in the "
+            "symmetrize/SYRK steps); use the simplicial path for complex "
+            "matrices (CholeskySolver routes there automatically)")
     if dtype is None:
         platform = next(iter(jnp.zeros(1).devices())).platform
         use_f64 = platform == "cpu" and jax.config.jax_enable_x64

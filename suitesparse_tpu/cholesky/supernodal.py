@@ -413,14 +413,12 @@ def super_symbolic(A: SparseCSC, sym: Symbolic,
     # --- padded bucket-contiguous panel layout ----------------------------
     shapes = [(int(sn_rowptr[s + 1] - sn_rowptr[s]),
                int(super_[s + 1] - super_[s])) for s in range(nsuper)]
-    # bucket merging trades HBM for fewer instructions; at HBM-scale
-    # factors (>~2 GB unpadded) the trade flips — tighten the budget so
-    # the padded buffer still fits a 16 GB chip with program workspace
+    # bucket merging trades HBM for fewer instructions; when the unpadded
+    # factor exceeds 256 MB (est * 4 bytes) merging turns OFF entirely —
+    # at HBM scale the padded buffer + per-instruction workspace already
+    # graze the 16 GB chip (lap3d_64: 6.1 GB merged OOMs one execution,
+    # 5.3 GB unmerged runs)
     est = sum(ms * ns for ms, ns in shapes)
-    # merging trades HBM for fewer instructions; at HBM-scale factors the
-    # padded buffer + per-instruction workspace already graze the 16 GB
-    # chip (lap3d_64: 6.1 GB merged OOMs one execution, 5.3 GB unmerged
-    # runs), so merging turns off entirely
     bmerge = opts.bucket_merge if est * 4 < (256 << 20) else 0.0
     panel_off, panel_Np, panel_Mp, total, level_buckets, wave_w = \
         _assign_layout(levels, shapes, ladder=opts.shape_ladder,

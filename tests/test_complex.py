@@ -104,3 +104,37 @@ class TestComplexKLUDevice:
         x = np.asarray(solve(f, Rs, av, jnp.asarray(b)))
         S2 = S * (1.5 - 0.5j)
         assert np.abs(S2 @ x - b).max() < 1e-10
+
+
+class TestComplexSupernodalRouting:
+    def test_supernodal_config_routes_to_simplicial(self):
+        """A complex matrix under supernodal config must NOT hit the
+        real-only pf/wave device programs: CholeskySolver routes it to the
+        simplicial path explicitly and still solves correctly."""
+        from suitesparse_tpu.cholesky.api import cholesky
+        from suitesparse_tpu.cholesky.simplicial import Factor
+
+        H = _hermitian_pd(40, 3)
+        U = sp.triu(H).tocsc()
+        A = SparseCSC(U.indptr, U.indices, U.data, U.shape, stype=SYM_UPPER)
+        solver = cholesky(A, mode="supernodal")
+        assert isinstance(solver.factor, Factor)  # simplicial, not super
+        rng = np.random.default_rng(4)
+        b = rng.standard_normal(40) + 1j * rng.standard_normal(40)
+        x = solver.solve(b)
+        assert np.abs(H @ x - b).max() < 1e-12
+
+    def test_factorize_super_rejects_complex(self):
+        from suitesparse_tpu.cholesky import analyze, super_symbolic
+        from suitesparse_tpu.cholesky.super_numeric import factorize_super
+        from suitesparse_tpu.core.common import default_common
+
+        H = _hermitian_pd(30, 5)
+        U = sp.triu(H).tocsc()
+        A = SparseCSC(U.indptr, U.indices, U.data, U.shape, stype=SYM_UPPER)
+        cm = default_common()
+        cm.cholesky.supernodal = "supernodal"
+        sym = analyze(A, cm)
+        ss = super_symbolic(A, sym, cm)
+        with pytest.raises(TypeError):
+            factorize_super(A, sym, ss, common=cm)

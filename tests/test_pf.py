@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from suitesparse_tpu.cholesky import analyze, super_symbolic, residual_norm
 from suitesparse_tpu.cholesky.super_numeric import (
     build_plan, factorize_super, solve_super, _assemble_values,
-    _numeric_program, _a_sorted_maps)
+    _numeric_program, _a_sorted_maps, SuperFactor)
 from suitesparse_tpu.cholesky.pf import build_pf_plan, pf_numeric
 from suitesparse_tpu.core.common import default_common
 from suitesparse_tpu.io.generators import laplacian_2d, laplacian_3d
@@ -101,3 +101,51 @@ def test_pf_refactorization_reuses_plan():
     F1 = np.asarray(pf_numeric(vals, pfp, np.float64))
     F2 = np.asarray(pf_numeric(vals * 4.0, pfp, np.float64))
     assert np.allclose(F2[:plan.total], 2.0 * F1[:plan.total], atol=1e-12)
+
+
+@pytest.mark.parametrize("group,merge", [("chunk", 0.0), ("pair", 0.0),
+                                         ("chunk", 0.35)])
+def test_pf_nondefault_group_and_merge(group, merge):
+    """The retained A/B paths (pf_group='chunk', bucket_merge=0 layout)
+    must keep bit-tight parity with the unrolled program — defaults moved
+    to pair/0.35 in round 3 and these paths would otherwise go untested
+    (ADVICE r3)."""
+    A = laplacian_3d(10)
+    cm = default_common()
+    cm.cholesky.supernodal = "supernodal"
+    cm.cholesky.bucket_merge = merge
+    cm.cholesky.pf_group = group
+    sym = analyze(A, cm)
+    ss = super_symbolic(A, sym, cm)
+    plan = build_plan(ss)
+    vals = _assemble_values(A, sym, ss, np.float64)
+    a_src, a_dst = _a_sorted_maps(ss)
+    ref = _numeric_program(jnp.asarray(vals), jnp.asarray(a_src),
+                           jnp.asarray(a_dst),
+                           plan.arrays_segsum(np.float64), plan.meta,
+                           plan.total, True, False)
+    pfp = build_pf_plan(plan, cm)
+    Fx = np.asarray(pf_numeric(vals, pfp, np.float64))
+    ref = np.asarray(ref)
+    err = np.abs(Fx[:plan.total] - ref[:plan.total]).max()
+    scale = max(np.abs(ref[:plan.total]).max(), 1.0)
+    assert err / scale < 1e-13, (group, merge, err)
+    # solve parity through the factor
+    f = SuperFactor(plan=plan, Lx=jnp.asarray(Fx), perm=sym.perm,
+                    minor=plan.n, dtype=np.float64)
+    b = np.arange(plan.n, dtype=np.float64) % 7 + 1
+    x = solve_super(f, b, "A", cm)
+    assert residual_norm(A, x, b) < 1e-12
+
+
+def test_pf_trsm_inverse_toggle(monkeypatch):
+    """SSTPU_TRSM_INV=0 must fall back to triangular_solve and still give
+    a bit-tight factor (ADVICE r3: accuracy escape hatch)."""
+    A = laplacian_3d(8)
+    sym, ss, plan, vals, ref = _setup(A)
+    pfp = build_pf_plan(plan, default_common())
+    monkeypatch.setenv("SSTPU_TRSM_INV", "0")
+    Fx = np.asarray(pf_numeric(vals, pfp, np.float64))
+    err = np.abs(Fx[:plan.total] - ref[:plan.total]).max()
+    scale = max(np.abs(ref[:plan.total]).max(), 1.0)
+    assert err / scale < 1e-13
