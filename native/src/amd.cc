@@ -417,3 +417,75 @@ extern "C" i64 sstpu_amd(
   }
   return S.ngc;
 }
+
+// ---------------------------------------------------------------------------
+// Relaxed supernode amalgamation (round 4): exact port of the Python merge
+// loop in cholesky/supernodal.py (reference behavior anchor:
+// CHOLMOD/Supernodal/cholmod_super_symbolic.c:475-560).  The repeated
+// union-find passes were ~5 s of Python at n=262k.
+// super_in: fundamental supernode column starts (nsuper+1).
+// Returns the merged supernode count; merged starts in starts_out.
+#include <vector>
+extern "C" int64_t sstpu_amalgamate(
+    int64_t n, int64_t nsuper, const int64_t* super_in,
+    const int64_t* parent, const int64_t* colcount,
+    int64_t nrelax0, int64_t nrelax1, int64_t nrelax2,
+    double zrelax0, double zrelax1, double zrelax2,
+    int64_t* starts_out) {
+    std::vector<int64_t> sup(super_in, super_in + nsuper + 1);
+    std::vector<int64_t> mp(nsuper), snsize(nsuper), first_cc(nsuper);
+    std::vector<double> zeros(nsuper, 0.0);
+    std::vector<int64_t> col_sn(n);
+    for (int64_t s = 0; s < nsuper; ++s) {
+        mp[s] = s;
+        snsize[s] = sup[s + 1] - sup[s];
+        first_cc[s] = colcount[sup[s]];
+        for (int64_t j = sup[s]; j < sup[s + 1]; ++j) col_sn[j] = s;
+    }
+    auto find = [&](int64_t s) {
+        while (mp[s] != s) {
+            mp[s] = mp[mp[s]];
+            s = mp[s];
+        }
+        return s;
+    };
+    bool changed = true;
+    while (changed) {
+        changed = false;
+        for (int64_t s = nsuper - 1; s >= 0; --s) {
+            int64_t rs = find(s);
+            int64_t last = sup[rs] + snsize[rs] - 1;
+            int64_t pc = parent[last];
+            if (pc < 0) continue;
+            int64_t rp = find(col_sn[pc]);
+            if (rp == rs) continue;
+            if (sup[rs] + snsize[rs] != sup[rp]) continue;
+            int64_t ns0 = snsize[rs], ns1 = snsize[rp];
+            int64_t ns = ns0 + ns1;
+            int64_t lnz0 = first_cc[rs], lnz1 = first_cc[rp];
+            double newzeros = (double)ns0 * (double)(lnz1 + ns0 - lnz0);
+            double totzeros = zeros[rs] + zeros[rp] + newzeros;
+            int64_t merged_rows = lnz1 + ns0;
+            double totsize = (double)ns * (ns + 1) / 2.0
+                + (double)ns * (merged_rows - ns);
+            double z = totzeros / (totsize > 1.0 ? totsize : 1.0);
+            bool ok = (ns <= nrelax0 || newzeros == 0.0
+                       || (ns <= nrelax1 && z < zrelax0)
+                       || (ns <= nrelax2 && z < zrelax1)
+                       || (z < zrelax2));
+            if (ok) {
+                mp[rs] = rp;
+                sup[rp] = sup[rs];
+                snsize[rp] = ns;
+                first_cc[rp] = merged_rows;
+                zeros[rp] = totzeros;
+                changed = true;
+            }
+        }
+    }
+    int64_t cnt = 0;
+    for (int64_t s = 0; s < nsuper; ++s)
+        if (find(s) == s) starts_out[cnt++] = sup[s];
+    std::sort(starts_out, starts_out + cnt);
+    return cnt;
+}

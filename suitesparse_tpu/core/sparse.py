@@ -185,15 +185,16 @@ class SparseCSC:
         me = self.copy()
         me.stype = UNSYM
         S = add(me, t)
-        # diagonal was counted twice — subtract it once
+        # diagonal was counted twice — subtract it once (vectorized: the
+        # per-column searchsorted loop was ~1 s at n=262k)
         if S.data is not None:
             d = extract_diagonal(self)
-            for j in range(S.ncol):
-                lo, hi = S.indptr[j], S.indptr[j + 1]
-                rows = S.indices[lo:hi]
-                hit = np.searchsorted(rows, j)
-                if hit < hi - lo and rows[hit] == j:
-                    S.data[lo + hit] -= 0 if j >= len(d) else d[j]
+            col = np.repeat(np.arange(S.ncol, dtype=INDEX),
+                            np.diff(S.indptr))
+            pos = np.nonzero(S.indices == col)[0]
+            j_of = col[pos]
+            ok = j_of < len(d)
+            S.data[pos[ok]] -= d[j_of[ok]]
         else:
             # pattern: duplicates already merged by add()
             pass

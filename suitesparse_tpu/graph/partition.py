@@ -325,15 +325,40 @@ def _waterdance(G, vwt, part, opt, rng):
 def edge_cut(A: SparseCSC, options: Optional[EdgeCutOptions] = None) -> EdgeCutResult:
     """Mongoose edge_cut: bisect the graph of A minimizing edge cut subject
     to balance (Mongoose.hpp:162)."""
+    return _edge_cut_adj(_to_adj(A), options)
+
+
+def _edge_cut_adj(G0, options: Optional[EdgeCutOptions] = None
+                  ) -> EdgeCutResult:
+    """edge_cut on a prebuilt CSR adjacency (shared with vertex_separator
+    so the adjacency is built once per bisection)."""
     opt = options or EdgeCutOptions()
     rng = np.random.default_rng(opt.random_seed)
-    G0 = _to_adj(A)
     n = G0.shape[0]
     if n <= 2:
         part = np.zeros(n, dtype=np.int8)
         if n == 2:
             part[1] = 1
         return EdgeCutResult(part, 0.0, 0.0)
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "sstpu_edge_cut"):
+        # full native V-cycle (coarsen + FM + QP waterdance + restarts):
+        # the per-level Python/scipy round-trips dominated nesdis analyze
+        # time (round-4 profile: ~6 of 10 s at n=85k)
+        part = np.empty(n, dtype=np.int8)
+        cut = lib.sstpu_edge_cut(
+            n, np.ascontiguousarray(G0.indptr, dtype=np.int64),
+            np.ascontiguousarray(G0.indices, dtype=np.int64),
+            np.ascontiguousarray(G0.data, dtype=np.float64),
+            float(opt.target_split), float(opt.tolerance),
+            int(opt.coarsen_limit), int(opt.restarts),
+            int(opt.fm_passes), int(opt.waterdance_rounds),
+            int(opt.qp_iters), int(opt.random_seed) + 1, part)
+        w0 = float((part == 0).sum()) / n
+        return EdgeCutResult(part, float(cut),
+                             abs(w0 - opt.target_split))
 
     best = None
     for restart in range(opt.restarts):
@@ -433,21 +458,45 @@ def vertex_separator(A: SparseCSC, options: Optional[EdgeCutOptions] = None
     smallest vertex set whose removal disconnects the two sides of the
     computed edge cut.
     """
-    res = edge_cut(A, options)
+    return _vertex_separator_adj(_to_adj(A), options)
+
+
+def _vertex_separator_adj(G, options: Optional[EdgeCutOptions] = None
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """vertex_separator on a prebuilt CSR adjacency (shared with the
+    nesdis recursion, which slices one top-level adjacency instead of
+    rebuilding scipy matrices per subgraph)."""
+    res = _edge_cut_adj(G, options)
     part = res.partition
-    G = _to_adj(A)
     n = G.shape[0]
-    coo = G.tocoo()
-    m = (part[coo.row] == 0) & (part[coo.col] == 1)
-    edges = list({(int(v), int(u)) for v, u in zip(coo.row[m], coo.col[m])})
-    b0 = sorted({v for v, _ in edges})
-    b1 = sorted({u for _, u in edges})
-    cover = _min_vertex_cover(b0, b1, edges) if edges else []
-    sep = np.array(sorted(cover), dtype=INDEX)
+    # cut edges, vectorized over the CSR (each undirected edge appears once
+    # in the 0->1 direction)
+    rowid = np.repeat(np.arange(n, dtype=INDEX), np.diff(G.indptr))
+    m = (part[rowid] == 0) & (part[G.indices] == 1)
+    e0g, e1g = rowid[m], G.indices[m].astype(INDEX)
+    if len(e0g) == 0:
+        sep = np.empty(0, dtype=INDEX)
+    else:
+        b0 = np.unique(e0g)
+        b1 = np.unique(e1g)
+        from ..utils.native import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "sstpu_vertex_cover"):
+            c0 = np.empty(len(b0), dtype=np.uint8)
+            c1 = np.empty(len(b1), dtype=np.uint8)
+            lib.sstpu_vertex_cover(
+                len(b0), len(b1), len(e0g),
+                np.ascontiguousarray(np.searchsorted(b0, e0g),
+                                     dtype=np.int64),
+                np.ascontiguousarray(np.searchsorted(b1, e1g),
+                                     dtype=np.int64), c0, c1)
+            sep = np.sort(np.concatenate([b0[c0 == 1], b1[c1 == 1]]))
+        else:
+            edges = list(zip(e0g.tolist(), e1g.tolist()))
+            cover = _min_vertex_cover(b0.tolist(), b1.tolist(), edges)
+            sep = np.array(sorted(cover), dtype=INDEX)
     mask = np.zeros(n, dtype=bool)
     mask[sep] = True
-    left = np.array([v for v in range(n) if part[v] == 0 and not mask[v]],
-                    dtype=INDEX)
-    right = np.array([v for v in range(n) if part[v] == 1 and not mask[v]],
-                     dtype=INDEX)
-    return left, right, sep
+    left = np.nonzero((part == 0) & ~mask)[0].astype(INDEX)
+    right = np.nonzero((part == 1) & ~mask)[0].astype(INDEX)
+    return left, right, sep.astype(INDEX)

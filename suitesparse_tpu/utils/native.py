@@ -97,6 +97,17 @@ def _register_optional(lib):
          [c_i64, p_i64, p_i64, p_dbl, p_dbl,
           np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
           c_dbl, c_dbl, c_i64], c_dbl),
+        ("sstpu_amalgamate",
+         [c_i64, c_i64, p_i64, p_i64, p_i64, c_i64, c_i64, c_i64,
+          c_dbl, c_dbl, c_dbl, p_i64], c_i64),
+        ("sstpu_edge_cut",
+         [c_i64, p_i64, p_i64, p_dbl, c_dbl, c_dbl, c_i64, c_i64, c_i64,
+          c_i64, c_i64, ctypes.c_uint64,
+          np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")], c_dbl),
+        ("sstpu_vertex_cover",
+         [c_i64, c_i64, c_i64, p_i64, p_i64,
+          np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+          np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")], None),
     ]:
         try:
             fn = getattr(lib, name)
