@@ -177,6 +177,29 @@ def bench_matrix(name, repeats, gemm_f32):
                 solve32_gflops=solve32_gflops, residual=res, t_base=t_base)
 
 
+def _bench_one_subprocess(name, repeats, gemm_f32):
+    """Run one matrix's bench in a FRESH subprocess.  Everything the
+    matrix allocated — device buffers, plan caches, compiled executables —
+    dies with the process, so earlier rows cannot OOM later ones (round-3
+    postmortem: lap3d_64 RESOURCE_EXHAUSTED in the 4-matrix sequence while
+    passing solo, VERDICT weak #2).  The persistent compilation cache
+    keeps recompiles cheap."""
+    import subprocess
+    env = dict(os.environ)
+    env["BENCH_ONE"] = name
+    env["BENCH_REPEATS"] = str(repeats)
+    env["BENCH_GEMM_F32"] = repr(gemm_f32)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, stderr=sys.stderr, timeout=3600)
+    if proc.returncode != 0:
+        raise RuntimeError(f"subprocess rc={proc.returncode}")
+    for line in proc.stdout.decode().splitlines():
+        if line.startswith("RESULT:"):
+            return json.loads(line[len("RESULT:"):])
+    raise RuntimeError("subprocess produced no RESULT line")
+
+
 def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
 
@@ -187,6 +210,13 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
+
+    one = os.environ.get("BENCH_ONE")
+    if one:
+        r = bench_matrix(one, repeats, float(os.environ["BENCH_GEMM_F32"]))
+        print("RESULT:" + json.dumps(r), flush=True)
+        return
+
     platform = next(iter(jnp.zeros(1).devices())).platform
     log(f"platform={platform}")
 
@@ -206,10 +236,15 @@ def main():
         os.environ.get("BENCH_MATRIX") else (
         ["bcsstk16", "lap3d_28", "lap3d_44", "lap3d_64"] if platform == "tpu"
         else ["bcsstk16", "lap3d_12"])
+    subproc = (os.environ.get("BENCH_SUBPROC", "1") != "0"
+               and platform == "tpu")
     results = []
     for name in names:
         try:
-            r = bench_matrix(name, repeats, gemm_f32)
+            if subproc:
+                r = _bench_one_subprocess(name, repeats, gemm_f32)
+            else:
+                r = bench_matrix(name, repeats, gemm_f32)
             r["pct_gemm_peak"] = 100.0 * r["gflops"] / gemm_f32
             results.append(r)
         except Exception as e:  # noqa: BLE001 - keep benching other matrices

@@ -579,7 +579,8 @@ def _tri_inv_enabled() -> bool:
     return os.environ.get("SSTPU_TRSM_INV", "1") != "0"
 
 
-def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv=True):
+def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv=True,
+                   potrf="pallas"):
     Mp = Np + Mb
 
     def br(Fx, pos, ops):
@@ -589,21 +590,35 @@ def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv=True):
         cmk = ops["colmask"][pos]
         P = jax.lax.dynamic_slice(Fx, (base,), (W * Mp * Np,))
         P = P.reshape(W, Mp, Np)
-        # upper triangle of the diagonal block may hold projection junk
-        T = jnp.tril(P[:, :Np, :])
-        Tfull = T + jnp.tril(T, -1).transpose(0, 2, 1)
-        Tfull = Tfull + jax.vmap(jnp.diag)(pe)
-        C = jnp.linalg.cholesky(Tfull)
-        if Mb:
-            if 8 < Np <= 128 and tri_inv:
-                # latency-bound regime: TRSM via explicit L^-1 + one einsum
-                Linv = _tri_inv_pow2(C)
-                Bm = jnp.einsum("bmj,bij->bmi", P[:, Np:, :], Linv,
-                                preferred_element_type=Fx.dtype)
+        if potrf == "pallas":
+            # fused blocked POTRF + TRSM in ONE kernel launch (XLA's
+            # batched cholesky/triangular_solve are sequential Whiles over
+            # columns — ~47 of 181 ms on lap3d_44, NOTES_ROUND3.md)
+            from .pallas_kernels import panel_factor
+            newP = panel_factor(P, pe, rm, cmk)   # masked output
+            Bm = newP[:, Np:, :]
+        else:
+            # upper triangle of the diagonal block may hold projection junk
+            T = jnp.tril(P[:, :Np, :])
+            Tfull = T + jnp.tril(T, -1).transpose(0, 2, 1)
+            Tfull = Tfull + jax.vmap(jnp.diag)(pe)
+            C = jnp.linalg.cholesky(Tfull)
+            if Mb:
+                if 8 < Np <= 128 and tri_inv:
+                    # latency-bound: TRSM via explicit L^-1 + one einsum
+                    Linv = _tri_inv_pow2(C)
+                    Bm = jnp.einsum("bmj,bij->bmi", P[:, Np:, :], Linv,
+                                    preferred_element_type=Fx.dtype)
+                else:
+                    Bm = jax.lax.linalg.triangular_solve(
+                        C, P[:, Np:, :], left_side=False, lower=True,
+                        transpose_a=True)
+                newP = jnp.concatenate([C, Bm], axis=1)
             else:
-                Bm = jax.lax.linalg.triangular_solve(
-                    C, P[:, Np:, :], left_side=False, lower=True,
-                    transpose_a=True)
+                newP = C
+            newP = newP * rm[:, :, None] * cmk[:, None, :]
+            Bm = newP[:, Np:, :]
+        if Mb:
             Bs = Bm.astype(jnp.bfloat16) if syrk_bf16 else Bm
             U = jnp.einsum("bik,bjk->bij", Bs, Bs,
                            preferred_element_type=Fx.dtype)
@@ -612,10 +627,6 @@ def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv=True):
             acc = acc.reshape(W, Mb, Mb)
             acc = jnp.tril(acc)        # lower-canonical incoming updates
             U = U + acc + jnp.tril(acc, -1).transpose(0, 2, 1)
-            newP = jnp.concatenate([C, Bm], axis=1)
-        else:
-            newP = C
-        newP = newP * rm[:, :, None] * cmk[:, None, :]
         Fx = jax.lax.dynamic_update_slice(Fx, newP.reshape(-1), (base,))
         if Mb and mode == 1:
             # publish the full symmetric outgoing update
@@ -733,12 +744,14 @@ def _pair_branch(Mbc, G, Pq, Npt, Mbt, bf16=False):
     return br
 
 
-def _pf_branches(class_ops, meta, syrk_bf16, tri_inv=True):
+def _pf_branches(class_ops, meta, syrk_bf16, tri_inv=True,
+                 potrf="pallas"):
     fops, pops, qops = class_ops
     fmeta, pmeta, qmeta = meta
     branches = [
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
-            _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv), ops)
+            _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv,
+                           potrf), ops)
         for ops, (Np, Mb, W, mode, L, K) in zip(fops, fmeta)]
     branches += [
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
@@ -751,9 +764,9 @@ def _pf_branches(class_ops, meta, syrk_bf16, tri_inv=True):
     return branches
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def _pf_program_scan(vals, a_src, a_dst, instr, class_ops, meta, buf,
-                     syrk_bf16=False, tri_inv=True):
+                     syrk_bf16=False, tri_inv=True, potrf="pallas"):
     """Scanned form: compile O(#classes), but lax.scan+switch double-
     buffers the whole carry every step — measured 1.65 ms/instruction on
     v5e (tools/ablate_pf.py), which dwarfs the compute.  Kept as the
@@ -761,7 +774,7 @@ def _pf_program_scan(vals, a_src, a_dst, instr, class_ops, meta, buf,
     Fx = jnp.zeros(buf, dtype=vals.dtype)
     Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
                           unique_indices=True, mode="promise_in_bounds")
-    branches = _pf_branches(class_ops, meta, syrk_bf16, tri_inv)
+    branches = _pf_branches(class_ops, meta, syrk_bf16, tri_inv, potrf)
 
     def body(Fx, xs):
         cid, pos = xs
@@ -771,16 +784,16 @@ def _pf_program_scan(vals, a_src, a_dst, instr, class_ops, meta, buf,
     return Fx
 
 
-@functools.partial(jax.jit, static_argnums=(3, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(3, 5, 6, 7, 8, 9))
 def _pf_program_unroll(vals, a_src, a_dst, instr, class_ops, meta, buf,
-                       syrk_bf16=False, tri_inv=True):
+                       syrk_bf16=False, tri_inv=True, potrf="pallas"):
     """Straight-line instruction sequence: XLA updates the factor buffer
     in place (no per-step carry copy).  Measured 4.7x faster than the
     scanned form on lap3d_28 AND 3x faster to compile."""
     Fx = jnp.zeros(buf, dtype=vals.dtype)
     Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
                           unique_indices=True, mode="promise_in_bounds")
-    branches = _pf_branches(class_ops, meta, syrk_bf16, tri_inv)
+    branches = _pf_branches(class_ops, meta, syrk_bf16, tri_inv, potrf)
     for cid, pos in instr:
         Fx = branches[cid](Fx, pos)
     return Fx
@@ -800,12 +813,14 @@ def pf_numeric(vals, pfp: PFPlan, dtype, syrk_bf16=False, form=None):
         import os
         form = os.environ.get("SSTPU_PF_FORM", "unroll")
     tri_inv = _tri_inv_enabled()
+    from .pallas_kernels import pallas_enabled
+    potrf = "pallas" if pallas_enabled() else "xla"
     if form == "scan":
         return _pf_program_scan(jnp.asarray(vals, dtype=dtype), amaps[0],
                                 amaps[1], pfp.instr, ops, pfp.meta, pfp.buf,
-                                syrk_bf16, tri_inv)
+                                syrk_bf16, tri_inv, potrf)
     seq = tuple((int(c), int(p))
                 for c, p in zip(pfp.instr_cls, pfp.instr_pos))
     return _pf_program_unroll(jnp.asarray(vals, dtype=dtype), amaps[0],
                               amaps[1], seq, ops, pfp.meta, pfp.buf,
-                              syrk_bf16, tri_inv)
+                              syrk_bf16, tri_inv, potrf)
