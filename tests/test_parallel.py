@@ -93,7 +93,7 @@ class TestDistributed:
                            NamedSharding(mesh8, P("batch"))),
             jax.device_put(jnp.asarray(dp.instr_cls),
                            NamedSharding(mesh8, P("batch"))),
-            jax.device_put(jnp.asarray(dp.instr_pos),
+            jax.device_put(jnp.asarray(dp.seq_pos),
                            NamedSharding(mesh8, P("batch")))).compile()
         hlo = txt.as_text()
         n_ag = hlo.count(" all-gather(") + hlo.count(" all-gather-start(")
