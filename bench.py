@@ -158,6 +158,28 @@ def bench_matrix(name, repeats, gemm_f32):
         x = x + np.asarray(solve_super(f, r, "A", cm), dtype=np.float64)
     res = residual_norm(A, x, b)
 
+    # bf16 A/B (VERDICT r4 item 3): SYRK + projection einsums run with
+    # bf16 inputs / f32 accumulation; panels stay f32.  Same refinement
+    # protocol so the residual is directly comparable.
+    bf16_gflops = bf16_res = None
+    if os.environ.get("BENCH_BF16", "1") != "0":
+        Lxb = pf_numeric(vd, pfp, dtype, syrk_bf16=True)
+        readback(Lxb)
+        _, t_bf16 = timed(lambda: pf_numeric(vd, pfp, dtype,
+                                             syrk_bf16=True), repeats)
+        bf16_gflops = sym.flops / t_bf16 / 1e9
+        fb = SuperFactor(plan=plan, Lx=Lxb, perm=sym.perm, minor=n,
+                         dtype=dtype)
+        xb = solve_super(fb, b, "A", cm).astype(np.float64)
+        for _ in range(3):
+            r = b - Sf @ xb
+            xb = xb + np.asarray(solve_super(fb, r, "A", cm),
+                                 dtype=np.float64)
+        bf16_res = residual_norm(A, xb, b)
+        log(f"[{name}] bf16 A/B: refactor {t_bf16*1e3:.3f} ms -> "
+            f"{bf16_gflops:.1f} GFLOP/s (f32 {gflops:.1f}); residual "
+            f"{bf16_res:.2e} (f32 {res:.2e})")
+
     # CPU baseline: scipy SuperLU numeric factor time
     import scipy.sparse.linalg as spla
     t0 = time.perf_counter()
@@ -174,7 +196,9 @@ def bench_matrix(name, repeats, gemm_f32):
     return dict(name=name, n=n, fl=sym.flops, lnz=int(sym.lnz),
                 t_analyze=t_analyze, t_factor=t_factor, gflops=gflops,
                 t_solve=t_solve, solve_gflops=solve_gflops,
-                solve32_gflops=solve32_gflops, residual=res, t_base=t_base)
+                solve32_gflops=solve32_gflops, residual=res, t_base=t_base,
+                bf16_gflops=bf16_gflops, bf16_residual=bf16_res,
+                t_first=t_first)
 
 
 def _bench_one_subprocess(name, repeats, gemm_f32):

@@ -83,10 +83,21 @@ def make_global_mesh(axis: str = "batch") -> Mesh:
 
 def shard_inputs(mesh: Mesh, spec: P, host_array: np.ndarray):
     """Build a mesh-sharded array from a host-replicated numpy array,
-    working under both single- and multi-process JAX."""
+    working under both single- and multi-process JAX.
+
+    Multi-process: `make_array_from_process_local_data` expects this
+    process's LOCAL block, so axis-sharded arrays are sliced to the rows
+    owned by this process's devices (the global mesh orders devices by
+    process)."""
     sh = NamedSharding(mesh, spec)
     if jax.process_count() > 1:
-        return jax.make_array_from_process_local_data(sh, host_array)
+        local = host_array
+        if len(spec) and spec[0] is not None:
+            nproc = jax.process_count()
+            per = host_array.shape[0] // nproc
+            pid = jax.process_index()
+            local = host_array[pid * per:(pid + 1) * per]
+        return jax.make_array_from_process_local_data(sh, local)
     return jax.device_put(jnp.asarray(host_array), sh)
 
 
@@ -928,7 +939,12 @@ def distributed_factorize(A, mesh: Mesh, common=None, dtype=np.float32,
     t = cm.toc("dist_factorize")
     cm.info["dist_factor_time"] = t
     minor = dp.plan.n
-    bad = bool(jnp.isnan(own).any()) or bool(jnp.isnan(top).any())
+    # NaN check as a jitted replicated reduction: `own` is sharded across
+    # processes under multi-controller JAX, so a host-side .any() would
+    # touch non-addressable shards; GSPMD inserts the cross-host reduce
+    bad = bool(jax.device_get(jax.jit(
+        lambda o, t: jnp.isnan(o).any() | jnp.isnan(t).any(),
+        out_shardings=NamedSharding(mesh, P()))(own, top)))
     if bad:
         from ..core.status import Status
         cm.status = Status.NOT_POSDEF
