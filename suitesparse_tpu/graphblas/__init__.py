@@ -8,5 +8,10 @@ from .objects import (Descriptor, GrBVector, Storage, MatrixIterator,
                       HYPERSPARSE, SPARSE, BITMAP, FULL, BY_ROW, BY_COL,
                       DESC_T0, DESC_T1, DESC_T0T1, DESC_C, DESC_S, DESC_R,
                       DESC_RC, DESC_SC)
+from .extra import (POSITIONAL_BINOPS, positional_mxm, positional_mxv,
+                    INDEXUNARY_OPS, apply_indexop, select_indexop,
+                    pack_csc, unpack_csc, pack_csr, unpack_csr,
+                    pack_coo, unpack_coo, pack_full, unpack_full,
+                    pack_bitmap, unpack_bitmap)
 from .algorithms import pagerank, bfs_levels, triangle_count
 from ..utils.serialize import matrix_serialize, matrix_deserialize

@@ -511,3 +511,149 @@ class TestTypedOps:
         d = cg.shortest_path(Ssym, unweighted=True, indices=0)
         ref = np.where(np.isinf(d), -1, d).astype(np.int32)
         assert np.array_equal(lev, ref)
+
+
+class TestPositionalOps:
+    """GxB positional binary ops (FIRSTI..SECONDJ1) via index-valued
+    operand substitution (graphblas/extra.py)."""
+
+    def _grid(self):
+        import scipy.sparse as sp
+        from suitesparse_tpu.core.sparse import SparseCSC
+        rng = np.random.default_rng(0)
+        S = sp.random(6, 6, density=0.4, random_state=rng, format="csc")
+        S.data[:] = rng.uniform(1, 2, len(S.data))
+        return SparseCSC.from_scipy(S), S
+
+    def test_min_firsti_value_is_row_index(self):
+        from suitesparse_tpu.graphblas import positional_mxm
+        import scipy.sparse as sp
+        from suitesparse_tpu.core.sparse import SparseCSC
+        A, S = self._grid()
+        B = SparseCSC.from_scipy(sp.csc_matrix(np.ones((6, 1))))
+        # firsti yields the A-entry's row index i, so C[i,0] = i wherever
+        # row i of A is nonempty
+        C = positional_mxm(A, B, "min_firsti").to_scipy().toarray()
+        rowhas = (S.toarray() != 0).any(axis=1)
+        for i in range(6):
+            if rowhas[i]:
+                assert C[i, 0] == i
+
+    def test_min_firstj_and_i1_offset(self):
+        from suitesparse_tpu.graphblas import positional_mxm
+        import scipy.sparse as sp
+        from suitesparse_tpu.core.sparse import SparseCSC
+        A, S = self._grid()
+        B = SparseCSC.from_scipy(sp.csc_matrix(np.ones((6, 1))))
+        # firstj = the contraction index k: min over row i's nonzero
+        # columns = the smallest column index of row i
+        C = positional_mxm(A, B, "min_firstj").to_scipy().toarray()
+        D = S.toarray()
+        for i in range(6):
+            cols = np.nonzero(D[i])[0]
+            if len(cols):
+                assert C[i, 0] == cols.min()
+        # the I1 variants add one
+        C1 = positional_mxm(A, B, "min_firstj1").to_scipy().toarray()
+        for i in range(6):
+            cols = np.nonzero(D[i])[0]
+            if len(cols):
+                assert C1[i, 0] == cols.min() + 1
+
+    def test_positional_mxv_bfs_parent(self):
+        """min_firsti mxv = the BFS 'parent' pattern: for each frontier
+        column, the smallest source row index."""
+        from suitesparse_tpu.graphblas import positional_mxv
+        import scipy.sparse as sp
+        from suitesparse_tpu.core.sparse import SparseCSC
+        # path graph 0-1-2-3
+        S = sp.csc_matrix(np.array([
+            [0, 1, 0, 0], [1, 0, 1, 0], [0, 1, 0, 1], [0, 0, 1, 0]],
+            dtype=float))
+        A = SparseCSC.from_scipy(S)
+        x = np.array([0.0, 1.0, 0.0, 0.0])   # frontier at node 1
+        y = np.asarray(positional_mxv(A, x, "min_firsti"))
+        # neighbors of node 1 are 0 and 2; each reached entry carries the
+        # reaching row index i
+        assert y[0] == 0 and y[2] == 2
+
+
+class TestIndexUnaryOps:
+    def test_apply_rowindex_colindex(self):
+        from suitesparse_tpu.graphblas import apply_indexop
+        import scipy.sparse as sp
+        from suitesparse_tpu.core.sparse import SparseCSC
+        S = sp.random(5, 7, density=0.5, random_state=np.random.default_rng(1),
+                      format="csc")
+        A = SparseCSC.from_scipy(S)
+        R = apply_indexop(A, "rowindex", 1).to_triplet()
+        assert np.all(R.data == R.row + 1)
+        Cc = apply_indexop(A, "colindex").to_triplet()
+        assert np.all(Cc.data == Cc.col)
+        Dg = apply_indexop(A, "diagindex").to_triplet()
+        assert np.all(Dg.data == Dg.col - Dg.row)
+
+    def test_select_structural_and_value(self):
+        from suitesparse_tpu.graphblas import select_indexop
+        import scipy.sparse as sp
+        from suitesparse_tpu.core.sparse import SparseCSC
+        rng = np.random.default_rng(2)
+        S = sp.random(8, 8, density=0.6, random_state=rng, format="csc")
+        A = SparseCSC.from_scipy(S)
+        T = select_indexop(A, "tril", -1).to_scipy().toarray()
+        assert np.all(np.triu(T) == 0)
+        U = select_indexop(A, "rowle", 2).to_triplet()
+        assert np.all(U.row <= 2)
+        med = np.median(S.data)
+        V = select_indexop(A, "valuegt", med).to_triplet()
+        assert np.all(V.data > med)
+        W = select_indexop(A, "colgt", 5).to_triplet()
+        assert np.all(W.col > 5)
+
+
+class TestPackUnpack:
+    def test_csc_roundtrip_and_jumbled(self):
+        from suitesparse_tpu.graphblas import pack_csc, unpack_csc
+        import scipy.sparse as sp
+        S = sp.random(6, 5, density=0.5,
+                      random_state=np.random.default_rng(3), format="csc")
+        A = pack_csc(6, 5, S.indptr, S.indices, S.data)
+        p, i, x = unpack_csc(A)
+        S2 = sp.csc_matrix((x, i, p), shape=(6, 5))
+        assert (abs(S - S2)).nnz == 0
+        # jumbled rows get sorted
+        idx = S.indices.copy()
+        dat = S.data.copy()
+        for j in range(5):
+            lo, hi = S.indptr[j], S.indptr[j + 1]
+            idx[lo:hi] = idx[lo:hi][::-1]
+            dat[lo:hi] = dat[lo:hi][::-1]
+        B = pack_csc(6, 5, S.indptr, idx, dat, jumbled=True)
+        assert (abs(B.to_scipy() - S)).nnz == 0
+
+    def test_csr_coo_full_bitmap(self):
+        from suitesparse_tpu.graphblas import (pack_csr, unpack_csr,
+                                               pack_coo, unpack_coo,
+                                               pack_full, unpack_full,
+                                               pack_bitmap, unpack_bitmap)
+        import scipy.sparse as sp
+        S = sp.random(4, 6, density=0.5,
+                      random_state=np.random.default_rng(4), format="csr")
+        A = pack_csr(4, 6, S.indptr, S.indices, S.data)
+        assert (abs(A.to_scipy() - S.tocsc())).nnz == 0
+        p, i, x = unpack_csr(A)
+        S2 = sp.csr_matrix((x, i, p), shape=(4, 6))
+        assert (abs(S2 - S)).nnz == 0
+        coo = S.tocoo()
+        B = pack_coo(4, 6, coo.row, coo.col, coo.data)
+        assert (abs(B.to_scipy() - S.tocsc())).nnz == 0
+        r, c, v = unpack_coo(B)
+        assert len(r) == S.nnz
+        D = np.arange(12, dtype=float).reshape(3, 4) + 1
+        F = pack_full(D)
+        assert np.array_equal(unpack_full(F), D)
+        bm = D > 6
+        Bm = pack_bitmap(bm, D)
+        bm2, v2 = unpack_bitmap(Bm)
+        assert np.array_equal(bm2, bm)
+        assert np.array_equal(v2[bm2], D[bm])
