@@ -579,6 +579,13 @@ def _tri_inv_enabled() -> bool:
     return os.environ.get("SSTPU_TRSM_INV", "1") != "0"
 
 
+def _pallas_maxnp() -> int:
+    """Largest panel column class routed to the Pallas kernel (trace-time
+    env knob).  Np > this uses the XLA path."""
+    import os
+    return int(os.environ.get("SSTPU_POTRF_MAXNP", "128"))
+
+
 def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv=True,
                    potrf="pallas"):
     Mp = Np + Mb
@@ -590,7 +597,7 @@ def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv=True,
         cmk = ops["colmask"][pos]
         P = jax.lax.dynamic_slice(Fx, (base,), (W * Mp * Np,))
         P = P.reshape(W, Mp, Np)
-        if potrf == "pallas":
+        if potrf == "pallas" and Np <= _pallas_maxnp():
             # fused blocked POTRF + TRSM in ONE kernel launch (XLA's
             # batched cholesky/triangular_solve are sequential Whiles over
             # columns — ~47 of 181 ms on lap3d_44, NOTES_ROUND3.md)

@@ -352,6 +352,57 @@ def wave_numeric(vals, wp: WavePlan, dtype, syrk_bf16=False):
 # Solve programs (super_lsolve / super_ltsolve as scanned waves)
 # ---------------------------------------------------------------------------
 
+def _dinv_layout(wp: "WavePlan"):
+    """Per-class base offsets into the Dinv buffer (inverted diagonal
+    blocks, classes with 8 < Np <= 128 only — the latency-bound regime
+    where the explicit inverse wins; bigger/smaller classes keep their
+    in-branch path)."""
+    got = wp._cache.get("dinv_layout")
+    if got is None:
+        bases = []
+        off = 0
+        for c in wp.classes:
+            if 8 < c.Np <= 128:
+                bases.append(off)
+                off += len(c.base) * c.W * c.Np * c.Np
+            else:
+                bases.append(-1)
+        got = (tuple(bases), off)
+        wp._cache["dinv_layout"] = got
+    return got
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _build_dinv(Lx, class_ops, meta, bases, total):
+    """Invert every (<=128-wide) diagonal block ONCE per factorization:
+    the solve then applies each wave's triangular solve as a single
+    einsum against the stored inverse, instead of rebuilding the
+    batch-folded inverse inside every wave of every solve call."""
+    from .pf import _tri_inv_pow2
+    out = jnp.zeros(max(total, 1), dtype=Lx.dtype)
+    for ops, (Np, Mb, W, *_r), b0 in zip(class_ops, meta, bases):
+        if b0 < 0:
+            continue
+        Mp = Np + Mb
+        T = ops["base"].shape[0]
+        P = jax.vmap(
+            lambda b: jax.lax.dynamic_slice(Lx, (b,), (W * Mp * Np,)))(
+            ops["base"])
+        P = P.reshape(T * W, Mp, Np)[:, :Np, :]
+        C = P + jax.vmap(jnp.diag)(
+            ops["padeye"].astype(Lx.dtype).reshape(T * W, Np))
+        inv = _tri_inv_pow2(C)
+        out = jax.lax.dynamic_update_slice(out, inv.reshape(-1), (b0,))
+    return out
+
+
+def solve_dinv(wp: "WavePlan", Lx):
+    """The per-factor Dinv buffer (cached by the caller per factor)."""
+    bases, total = _dinv_layout(wp)
+    ops = wp.solve_arrays(Lx.dtype)
+    return _build_dinv(Lx, ops, wp.meta, bases, total)
+
+
 def _tri_apply(C, xc, transpose):
     """Batched triangular solve of (W,Np,k) against (W,Np,Np): for the
     latency-bound small-Np classes, solve via the batch-folded explicit
@@ -367,18 +418,25 @@ def _tri_apply(C, xc, transpose):
         C, xc, left_side=True, lower=True, transpose_a=transpose)
 
 
-def _lsolve_branch(Np, Mb, W, CL, CK, RL, RK):
+def _lsolve_branch(Np, Mb, W, CL, CK, RL, RK, dinv_base=-1):
     Mp = Np + Mb
 
     def br(args, pos, ops):
-        Lx, x = args
+        Lx, x, Dv = args
         base = ops["base"][pos]
-        pe = ops["padeye"][pos]
         P = jax.lax.dynamic_slice(Lx, (base,), (W * Mp * Np,))
         P = P.reshape(W, Mp, Np)
-        C = P[:, :Np, :] + jax.vmap(jnp.diag)(pe)
         xc = x[ops["colidx"][pos]]
-        xc = _tri_apply(C, xc, transpose=False)
+        if dinv_base >= 0:
+            Li = jax.lax.dynamic_slice(
+                Dv, (dinv_base + pos * W * Np * Np,), (W * Np * Np,))
+            Li = Li.reshape(W, Np, Np)
+            xc = jnp.einsum("bij,bjk->bik", Li, xc,
+                            preferred_element_type=x.dtype)
+        else:
+            pe = ops["padeye"][pos]
+            C = P[:, :Np, :] + jax.vmap(jnp.diag)(pe)
+            xc = _tri_apply(C, xc, transpose=False)
         k = x.shape[-1]
         x = x.at[ops["c_dst"][pos]].set(
             xc.reshape(-1, k)[ops["c_src"][pos]],
@@ -394,47 +452,56 @@ def _lsolve_branch(Np, Mb, W, CL, CK, RL, RK):
             x = x.at[ops["r_dst"][pos]].add(
                 -seg, indices_are_sorted=True, unique_indices=True,
                 mode="promise_in_bounds")
-        return (Lx, x)
+        return (Lx, x, Dv)
     return br
 
 
-def _ltsolve_branch(Np, Mb, W, CL, CK, RL, RK):
+def _ltsolve_branch(Np, Mb, W, CL, CK, RL, RK, dinv_base=-1):
     Mp = Np + Mb
 
     def br(args, pos, ops):
-        Lx, x = args
+        Lx, x, Dv = args
         base = ops["base"][pos]
-        pe = ops["padeye"][pos]
         P = jax.lax.dynamic_slice(Lx, (base,), (W * Mp * Np,))
         P = P.reshape(W, Mp, Np)
-        C = P[:, :Np, :] + jax.vmap(jnp.diag)(pe)
         xc = x[ops["colidx"][pos]]
         if Mb:
             Bm = P[:, Np:, :]
             xr = x[ops["rowidx"][pos]]
             xc = xc - jnp.einsum("bmc,bmk->bck", Bm, xr,
                                  preferred_element_type=x.dtype)
-        xc = _tri_apply(C, xc, transpose=True)
+        if dinv_base >= 0:
+            Li = jax.lax.dynamic_slice(
+                Dv, (dinv_base + pos * W * Np * Np,), (W * Np * Np,))
+            Li = Li.reshape(W, Np, Np)
+            xc = jnp.einsum("bji,bjk->bik", Li, xc,
+                            preferred_element_type=x.dtype)
+        else:
+            pe = ops["padeye"][pos]
+            C = P[:, :Np, :] + jax.vmap(jnp.diag)(pe)
+            xc = _tri_apply(C, xc, transpose=True)
         k = x.shape[-1]
         x = x.at[ops["c_dst"][pos]].set(
             xc.reshape(-1, k)[ops["c_src"][pos]],
             indices_are_sorted=True, unique_indices=True,
             mode="promise_in_bounds")
-        return (Lx, x)
+        return (Lx, x, Dv)
     return br
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(1,))
-def _wave_lsolve_program(Lx, x, instr, class_ops, meta, transpose):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7), donate_argnums=(1,))
+def _wave_lsolve_program(Lx, x, Dv, instr, class_ops, meta, bases,
+                         transpose):
     """Scanned solve.  The factor buffer is an INVARIANT closed over by
     the scan body — carrying it (the round-2 form) made lax.scan copy the
     whole factor every step (tools/ablate_pf.py measurement); the carry
     is now just the small x panel."""
     mk = _ltsolve_branch if transpose else _lsolve_branch
     branches = [
-        (lambda brf, ops: (lambda x, pos: brf((Lx, x), pos, ops)[1]))(
-            mk(Np, Mb, W, CL, CK, RL, RK), ops)
-        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK) in zip(class_ops, meta)]
+        (lambda brf, ops: (lambda x, pos: brf((Lx, x, Dv), pos, ops)[1]))(
+            mk(Np, Mb, W, CL, CK, RL, RK, b0), ops)
+        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK), b0
+        in zip(class_ops, meta, bases)]
 
     def body(x, xs):
         cid, pos = xs
@@ -444,14 +511,16 @@ def _wave_lsolve_program(Lx, x, instr, class_ops, meta, transpose):
     return x
 
 
-@functools.partial(jax.jit, static_argnums=(2, 4, 5), donate_argnums=(1,))
-def _wave_lsolve_unroll(Lx, x, seq, class_ops, meta, transpose):
+@functools.partial(jax.jit, static_argnums=(3, 5, 6, 7),
+                   donate_argnums=(1,))
+def _wave_lsolve_unroll(Lx, x, Dv, seq, class_ops, meta, bases, transpose):
     """Straight-line solve (default): in-place x updates, no switch."""
     mk = _ltsolve_branch if transpose else _lsolve_branch
     branches = [
-        (lambda brf, ops: (lambda x, pos: brf((Lx, x), pos, ops)[1]))(
-            mk(Np, Mb, W, CL, CK, RL, RK), ops)
-        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK) in zip(class_ops, meta)]
+        (lambda brf, ops: (lambda x, pos: brf((Lx, x, Dv), pos, ops)[1]))(
+            mk(Np, Mb, W, CL, CK, RL, RK, b0), ops)
+        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK), b0
+        in zip(class_ops, meta, bases)]
     for cid, pos in seq:
         x = branches[cid](x, pos)
     return x
@@ -462,8 +531,8 @@ def _solve_form():
     return os.environ.get("SSTPU_PF_FORM", "unroll")
 
 
-@functools.partial(jax.jit, static_argnums=(2, 4, 5, 6))
-def _wave_solve_llt(Lx, bk, seq, class_ops, meta, xrows, scan):
+@functools.partial(jax.jit, static_argnums=(3, 5, 6, 7, 8))
+def _wave_solve_llt(Lx, bk, Dv, seq, class_ops, meta, bases, xrows, scan):
     """The FULL A-system substitution pair (pad -> L-solve -> Lt-solve) as
     ONE compiled program.  Per-call dispatch through the remote tunnel is
     ~2-5 ms (tools/microbench_dispatch.py), so the previous three-call
@@ -473,13 +542,15 @@ def _wave_solve_llt(Lx, bk, seq, class_ops, meta, xrows, scan):
     x = jnp.zeros((xrows, k), dtype=Lx.dtype)
     x = x.at[:n, :].set(bk.astype(Lx.dtype))
     bl = [
-        (lambda brf, ops: (lambda x, pos: brf((Lx, x), pos, ops)[1]))(
-            _lsolve_branch(Np, Mb, W, CL, CK, RL, RK), ops)
-        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK) in zip(class_ops, meta)]
+        (lambda brf, ops: (lambda x, pos: brf((Lx, x, Dv), pos, ops)[1]))(
+            _lsolve_branch(Np, Mb, W, CL, CK, RL, RK, b0), ops)
+        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK), b0
+        in zip(class_ops, meta, bases)]
     bt = [
-        (lambda brf, ops: (lambda x, pos: brf((Lx, x), pos, ops)[1]))(
-            _ltsolve_branch(Np, Mb, W, CL, CK, RL, RK), ops)
-        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK) in zip(class_ops, meta)]
+        (lambda brf, ops: (lambda x, pos: brf((Lx, x, Dv), pos, ops)[1]))(
+            _ltsolve_branch(Np, Mb, W, CL, CK, RL, RK, b0), ops)
+        for ops, (Np, Mb, W, _L, _K, CL, CK, RL, RK), b0
+        in zip(class_ops, meta, bases)]
     if scan:
         ic = jnp.asarray([c for c, _ in seq])
         ip = jnp.asarray([p for _, p in seq])
@@ -502,30 +573,43 @@ def _wave_solve_llt(Lx, bk, seq, class_ops, meta, xrows, scan):
     return x
 
 
-def wave_solve_llt(wp: WavePlan, Lx, bk):
-    """Fused L then Lt substitution; bk is the (n, k) permuted RHS."""
+def wave_solve_llt(wp: WavePlan, Lx, bk, Dv=None):
+    """Fused L then Lt substitution; bk is the (n, k) permuted RHS.
+    Dv: per-factor inverted diagonal blocks (solve_dinv) — built on the
+    fly when not supplied."""
     ops = wp.solve_arrays(Lx.dtype)
+    bases, _ = _dinv_layout(wp)
+    if Dv is None:
+        Dv = solve_dinv(wp, Lx)
     seq = tuple((int(c), int(p))
                 for c, p in zip(wp.instr_cls, wp.instr_pos))
-    return _wave_solve_llt(Lx, bk, seq, ops, wp.meta,
+    return _wave_solve_llt(Lx, bk, Dv, seq, ops, wp.meta, bases,
                            wp.plan.n + wp.xpad, _solve_form() == "scan")
 
 
-def wave_lsolve(wp: WavePlan, Lx, x):
+def wave_lsolve(wp: WavePlan, Lx, x, Dv=None):
     ops = wp.solve_arrays(Lx.dtype)
+    bases, _ = _dinv_layout(wp)
+    if Dv is None:
+        Dv = solve_dinv(wp, Lx)
     if _solve_form() == "scan":
-        return _wave_lsolve_program(Lx, x, wp.instr, ops, wp.meta, False)
+        return _wave_lsolve_program(Lx, x, Dv, wp.instr, ops, wp.meta,
+                                    bases, False)
     seq = tuple((int(c), int(p))
                 for c, p in zip(wp.instr_cls, wp.instr_pos))
-    return _wave_lsolve_unroll(Lx, x, seq, ops, wp.meta, False)
+    return _wave_lsolve_unroll(Lx, x, Dv, seq, ops, wp.meta, bases, False)
 
 
-def wave_ltsolve(wp: WavePlan, Lx, x):
+def wave_ltsolve(wp: WavePlan, Lx, x, Dv=None):
     ops = wp.solve_arrays(Lx.dtype)
+    bases, _ = _dinv_layout(wp)
+    if Dv is None:
+        Dv = solve_dinv(wp, Lx)
     if _solve_form() == "scan":
         ic, ip = wp.instr
         rinstr = (ic[::-1], ip[::-1])
-        return _wave_lsolve_program(Lx, x, rinstr, ops, wp.meta, True)
+        return _wave_lsolve_program(Lx, x, Dv, rinstr, ops, wp.meta,
+                                    bases, True)
     seq = tuple((int(c), int(p))
                 for c, p in zip(wp.instr_cls[::-1], wp.instr_pos[::-1]))
-    return _wave_lsolve_unroll(Lx, x, seq, ops, wp.meta, True)
+    return _wave_lsolve_unroll(Lx, x, Dv, seq, ops, wp.meta, bases, True)
