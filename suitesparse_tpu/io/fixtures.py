@@ -44,7 +44,19 @@ def load_triplet(path: str, dtype=np.float64) -> SparseCSC:
     m, n = int(i.max()) + 1, int(j.max()) + 1
     A = sp.coo_matrix((x, (i, j)), shape=(m, n)).tocsc()
     A.sum_duplicates()
-    return SparseCSC.from_scipy(A)
+    out = SparseCSC.from_scipy(A)
+    # CSparse's symmetric demo matrices (bcsstk16 et al.) store only the
+    # lower triangle in the triplet file; cs_demo detects this (is_sym,
+    # cs_demo.c:30-45) and works on A+A'.  Mark such matrices as
+    # symmetric-lower so sym_upper_view & friends see the full pattern —
+    # round-4 regression find: triu() of a lower-only stype-0 matrix is
+    # just the diagonal, which silently made fixture tests vacuous.
+    if m == n and out.nnz:
+        col = np.repeat(np.arange(n, dtype=np.int64), np.diff(out.indptr))
+        if np.all(out.indices >= col):
+            from ..core.sparse import SYM_LOWER
+            out.stype = SYM_LOWER
+    return out
 
 
 # name -> path fragment under the reference root (first hit wins)
