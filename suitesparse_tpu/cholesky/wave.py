@@ -532,15 +532,24 @@ def _solve_form():
 
 
 @functools.partial(jax.jit, static_argnums=(3, 5, 6, 7, 8))
-def _wave_solve_llt(Lx, bk, Dv, seq, class_ops, meta, bases, xrows, scan):
+def _wave_solve_llt(Lx, bk, Dv, seq, class_ops, meta, bases, xrows, scan,
+                    perm=None, invperm=None):
     """The FULL A-system substitution pair (pad -> L-solve -> Lt-solve) as
     ONE compiled program.  Per-call dispatch through the remote tunnel is
     ~2-5 ms (tools/microbench_dispatch.py), so the previous three-call
     chain (pad, lsolve, ltsolve) put a ~10 ms floor under every solve —
-    larger than the entire substitution work for most matrices."""
+    larger than the entire substitution work for most matrices.
+
+    perm/invperm: optional DEVICE permutation (cholmod_solve's P/P');
+    when given the whole A-system solve — permute, substitute, permute
+    back — runs on device and returns (n, k), so repeated solves never
+    round-trip the RHS through the host."""
     n, k = bk.shape
     x = jnp.zeros((xrows, k), dtype=Lx.dtype)
-    x = x.at[:n, :].set(bk.astype(Lx.dtype))
+    if perm is not None:
+        x = x.at[:n, :].set(bk[perm].astype(Lx.dtype))
+    else:
+        x = x.at[:n, :].set(bk.astype(Lx.dtype))
     bl = [
         (lambda brf, ops: (lambda x, pos: brf((Lx, x, Dv), pos, ops)[1]))(
             _lsolve_branch(Np, Mb, W, CL, CK, RL, RK, b0), ops)
@@ -565,16 +574,18 @@ def _wave_solve_llt(Lx, bk, Dv, seq, class_ops, meta, bases, xrows, scan):
 
         x, _ = jax.lax.scan(body_l, x, (ic, ip))
         x, _ = jax.lax.scan(body_t, x, (ic[::-1], ip[::-1]))
-        return x
+        return x[invperm] if invperm is not None else x
     for cid, pos in seq:
         x = bl[cid](x, pos)
     for cid, pos in reversed(seq):
         x = bt[cid](x, pos)
-    return x
+    return x[invperm] if invperm is not None else x
 
 
-def wave_solve_llt(wp: WavePlan, Lx, bk, Dv=None):
-    """Fused L then Lt substitution; bk is the (n, k) permuted RHS.
+def wave_solve_llt(wp: WavePlan, Lx, bk, Dv=None, perm=None, invperm=None):
+    """Fused L then Lt substitution; bk is the (n, k) permuted RHS — or,
+    when perm/invperm device arrays are given, the UNpermuted RHS with the
+    permutation applied in-program (returns (n, k)).
     Dv: per-factor inverted diagonal blocks (solve_dinv) — built on the
     fly when not supplied."""
     ops = wp.solve_arrays(Lx.dtype)
@@ -584,7 +595,8 @@ def wave_solve_llt(wp: WavePlan, Lx, bk, Dv=None):
     seq = tuple((int(c), int(p))
                 for c, p in zip(wp.instr_cls, wp.instr_pos))
     return _wave_solve_llt(Lx, bk, Dv, seq, ops, wp.meta, bases,
-                           wp.plan.n + wp.xpad, _solve_form() == "scan")
+                           wp.plan.n + wp.xpad, _solve_form() == "scan",
+                           perm, invperm)
 
 
 def wave_lsolve(wp: WavePlan, Lx, x, Dv=None):
