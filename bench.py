@@ -45,15 +45,18 @@ def readback(x):
     return float(jax.device_get(x.ravel()[0]).real)
 
 
-def timed(fn, repeats):
-    """(single_s, amortized_s): one call with readback, then `repeats`
-    calls with one readback at the end (steady-state throughput).  Calls
-    taking >0.2 s read back EVERY iteration: queuing async calls keeps
-    several executions' output buffers live at once, which OOMs HBM-scale
-    factors (two 5.3 GB buffers + temps on lap3d_64)."""
+def timed(fn, repeats, keep_out=False):
+    """(single_s, amortized_s[, out]): one call with readback, then
+    `repeats` calls with one readback at the end (steady-state
+    throughput).  Calls taking >0.2 s read back EVERY iteration: queuing
+    async calls keeps several executions' output buffers live at once,
+    which OOMs HBM-scale factors (two 5.4 GB buffers + temps on
+    lap3d_64).  keep_out=True also returns the final output so callers
+    can reuse it instead of holding their own copy across the timing."""
     out = fn()
     readback(out)
     t0 = time.perf_counter()
+    out = None              # never two live outputs at HBM scale
     out = fn()
     readback(out)
     single = time.perf_counter() - t0
@@ -69,6 +72,8 @@ def timed(fn, repeats):
             readback(out)
     readback(out)
     amort = (time.perf_counter() - t0) / repeats
+    if keep_out:
+        return single, amort, out
     return single, amort
 
 
@@ -135,9 +140,14 @@ def bench_matrix(name, repeats, gemm_f32):
     readback(Lx)
     t_first = time.perf_counter() - t0
     # steady state = the refactorization path (values change, pattern
-    # fixed): the program and all static maps are reused verbatim
+    # fixed): the program and all static maps are reused verbatim.
+    # The first factor's buffer is RELEASED before timing starts and the
+    # timing's final output is adopted as the factor — at HBM scale two
+    # live 5.4 GB factor buffers OOM the chip (r4 lap3d_64 failure mode).
     vd = jnp.asarray(vals)
-    t_single, t_factor = timed(lambda: pf_numeric(vd, pfp, dtype), repeats)
+    Lx = None
+    t_single, t_factor, Lx = timed(lambda: pf_numeric(vd, pfp, dtype),
+                                   repeats, keep_out=True)
     gflops = sym.flops / t_factor / 1e9
 
     # device solve (4*lnz/ts protocol), single RHS and a 32-RHS batch.
@@ -150,6 +160,7 @@ def bench_matrix(name, repeats, gemm_f32):
     f = SuperFactor(plan=plan, Lx=Lx, perm=sym.perm, minor=n, dtype=dtype)
     Dv = solve_dinv(wp, Lx)
     readback(Dv)
+    f._dinv = Dv     # share: a second Dinv build would double its HBM
     permd = jnp.asarray(sym.perm)
     invp = np.empty(n, dtype=sym.perm.dtype)
     invp[sym.perm] = np.arange(n, dtype=sym.perm.dtype)
@@ -179,13 +190,14 @@ def bench_matrix(name, repeats, gemm_f32):
 
     # bf16 A/B (VERDICT r4 item 3): SYRK + projection einsums run with
     # bf16 inputs / f32 accumulation; panels stay f32.  Same refinement
-    # protocol so the residual is directly comparable.
+    # protocol so the residual is directly comparable.  The f32 factor
+    # state is freed FIRST (two HBM-scale factors cannot coexist).
     bf16_gflops = bf16_res = None
     if os.environ.get("BENCH_BF16", "1") != "0":
-        Lxb = pf_numeric(vd, pfp, dtype, syrk_bf16=True)
-        readback(Lxb)
-        _, t_bf16 = timed(lambda: pf_numeric(vd, pfp, dtype,
-                                             syrk_bf16=True), repeats)
+        Lx = f = Dv = None
+        _, t_bf16, Lxb = timed(lambda: pf_numeric(vd, pfp, dtype,
+                                                  syrk_bf16=True), repeats,
+                               keep_out=True)
         bf16_gflops = sym.flops / t_bf16 / 1e9
         fb = SuperFactor(plan=plan, Lx=Lxb, perm=sym.perm, minor=n,
                          dtype=dtype)
@@ -234,7 +246,8 @@ def _bench_one_subprocess(name, repeats, gemm_f32):
     env["BENCH_GEMM_F32"] = repr(gemm_f32)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)], env=env,
-        stdout=subprocess.PIPE, stderr=sys.stderr, timeout=3600)
+        stdout=subprocess.PIPE, stderr=sys.stderr,
+        timeout=int(os.environ.get("BENCH_ONE_TIMEOUT", "9000")))
     if proc.returncode != 0:
         raise RuntimeError(f"subprocess rc={proc.returncode}")
     for line in proc.stdout.decode().splitlines():
