@@ -418,7 +418,23 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
 
     # element counts; scaled to bytes by the dtype actually factorized with
     # (distributed_factorize) — itemsize is not known at plan time
+    # flop accounting for the scaling model: on real chips the factor
+    # wall is ~ max per-chip subtree work + the replicated top (the
+    # shared-CPU virtual mesh cannot show this — it serializes ndev x the
+    # replicated work onto one socket)
+    wfl = np.empty(nsuper)
+    for s_ in range(nsuper):
+        ms_, ns_ = shapes[s_]
+        wfl[s_] = float(ms_) * ms_ * ns_
+    chip_fl = np.array([wfl[owner == c].sum() for c in range(ndev)])
+    top_fl = float(wfl[owner == -1].sum())
+    tot_fl = float(wfl.sum())
     comm = dict(
+        dist_chip_flops_max=float(chip_fl.max()) if ndev else 0.0,
+        dist_chip_flops_mean=float(chip_fl.mean()) if ndev else 0.0,
+        dist_top_flops=top_fl,
+        dist_model_speedup=(
+            tot_fl / max(float(chip_fl.max()) + top_fl, 1.0)),
         dist_psum_elems=int(Btop) * 2 * (ndev - 1) // max(ndev, 1),
         dist_root_elems=(root[1] * root[1] + root[1] * root[2]
                          * (root[1] // root[2])) if root else 0,
