@@ -201,6 +201,7 @@ class DistPlan:
     seq_pos: np.ndarray        # (ndev, Tp) per-chip pos (dead-wave pads)
     top_cls: np.ndarray        # (T2,) shared top instructions (root peeled)
     top_pos: np.ndarray
+    top_fan: tuple             # [(top index, nb)] fronts run via fanout
     top_solve_cls: np.ndarray  # top waves incl. the peeled root (solve)
     top_solve_pos: np.ndarray
     a_dst_local: np.ndarray    # (ndev, nnz) per-chip local A targets
@@ -266,9 +267,13 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
         chip_lb[c] = [[(Np, Mb, b + c * Bloc, sids, W)
                        for (Np, Mb, b, sids, W) in lv] for lv in chip_lb[c]]
     top_base = ndev * Bloc
+    # top-phase layout: big fronts get W=1 so each is its own wave and the
+    # column-block-cyclic fanout (_front_fanout) can distribute it
+    wave_w_top = {k: (1 if (ndev > 1 and k[0] >= root_2d_min) else w)
+                  for k, w in wave_w.items()}
     top_lb, total = _assign_region(ss.levels, shapes, owner == -1, pad,
-                                   wave_w, panel_off, panel_Np, panel_Mp,
-                                   top_base)
+                                   wave_w_top, panel_off, panel_Np,
+                                   panel_Mp, top_base)
     Btop = total - top_base
 
     # global bucket schedule: per level, chips then top
@@ -394,6 +399,18 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
     topidx = np.nonzero((wave_owner < 0) & top_keep)[0]
     top_cls = wp.instr_cls[topidx].astype(np.int32)
     top_pos = wp.instr_pos[topidx].astype(np.int32)
+    # large W==1 top fronts get the column-block-cyclic fanout instead of
+    # replicated execution (same threshold family as the root peel)
+    top_fan = []
+    if ndev > 1:
+        for t, (tc, tp) in enumerate(zip(top_cls, top_pos)):
+            c = wp.classes[int(tc)]
+            if c.W == 1 and c.Np >= root_2d_min and c.Np % 8 == 0:
+                nbf = root_2d_nb
+                while c.Np % nbf:
+                    nbf //= 2
+                top_fan.append((t, int(nbf)))
+    top_fan = tuple(top_fan)
     # the solve needs EVERY top wave including a peeled 2D root (the root
     # panel is a plain factored panel by solve time)
     topidx_s = np.nonzero(wave_owner < 0)[0]
@@ -450,7 +467,7 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
                     Btop=int(Btop), buf=int(buf), lbuf=lbuf,
                     instr_cls=instr_cls,
                     instr_pos=instr_pos, seq_cls=seq_cls, seq_pos=seq_pos,
-                    top_cls=top_cls, top_pos=top_pos,
+                    top_cls=top_cls, top_pos=top_pos, top_fan=top_fan,
                     top_solve_cls=top_solve_cls, top_solve_pos=top_solve_pos,
                     a_dst_local=adl, nop_cls=nop_cls, root=root, comm=comm)
 
@@ -534,6 +551,113 @@ def _root_fanout(Lx, root, ndev, axis, dtype):
     cmk = jnp.asarray(colmask, dtype=dtype)       # zero padded rows/cols in
     L = L * cmk[:, None] * cmk[None, :]           # storage (branch parity)
     return jax.lax.dynamic_update_slice(Lx, L.reshape(-1), (base,))
+
+
+def _front_fanout(Lx, cid, pos, nb, dp, axis, dtype):
+    """Column-block-cyclic distribution of ONE large top-phase front
+    (W == 1), INSIDE the program — the generalization of _root_fanout to
+    fronts WITH below rows.  Per block column: one psum broadcasts the
+    current panel, the diagonal POTRF + TRSM run replicated (O(Mp*Np*nb)),
+    and the trailing update — the O(Mp*Np^2) bulk — touches only the
+    OWNED block columns.  One final psum merges the factored columns and
+    the per-chip partial SYRK U_d = Bm_d Bm_d^T (owned columns have
+    disjoint support, so the psum of partials is exact); the extend-add
+    then runs replicated through the wave's own static maps.
+
+    Rationale: the top/separator fronts carry most of a 3D problem's
+    flops — replicating them bounded the whole-program model speedup at
+    ~1.3x regardless of ndev (tools/dist_scaling.py, round 4)."""
+    c = dp.wp.classes[cid]
+    Np, Mb = c.Np, c.Mb
+    Mp = Np + Mb
+    ndev = dp.ndev
+    base = int(c.base[pos]) - (ndev - 1) * dp.Bloc   # top region: constant
+    pe = jnp.asarray(c.padeye[pos][0], dtype=dtype)
+    rm = jnp.asarray(c.rowmask[pos][0], dtype=dtype)
+    cmk = jnp.asarray(c.colmask[pos][0], dtype=dtype)
+    d = jax.lax.axis_index(axis)
+    Pn = jax.lax.dynamic_slice(Lx, (base,), (Mp * Np,)).reshape(Mp, Np)
+    T = jnp.tril(Pn[:Np])
+    T = T + jnp.tril(T, -1).T + jnp.diag(pe)
+    A = jnp.concatenate([T, Pn[Np:]], axis=0)        # (Mp, Np) working
+    K = Np // nb
+    colown = (np.arange(K) % ndev).astype(np.int32)
+    rows = np.arange(Mp)
+    Lcols = jnp.zeros((Mp, Np), dtype=dtype)
+    # block columns owned by THIS chip: j = d, d+ndev, ... (traced);
+    # slots past K are masked.  Gathering owned blocks (instead of
+    # masking full-width einsums) is what actually divides the trailing
+    # and SYRK flops by ndev.
+    nown = -(-K // ndev)
+    for k in range(K):                                # unrolled: K small
+        kb = k * nb
+        mine_k = d == colown[k]
+        panel = jnp.where(mine_k, A[:, kb:kb + nb],
+                          jnp.zeros((Mp, nb), dtype=dtype))
+        panel = jax.lax.psum(panel, axis)             # broadcast from owner
+        panel = panel * jnp.asarray(rows >= kb, dtype=dtype)[:, None]
+        Lkk = jnp.linalg.cholesky(panel[kb:kb + nb, :])
+        Bk = jax.lax.linalg.triangular_solve(
+            Lkk, panel[kb + nb:, :], left_side=False, lower=True,
+            transpose_a=True)
+        col = jnp.concatenate(
+            [jnp.zeros((kb, nb), dtype=dtype), Lkk, Bk])
+        Lcols = jnp.where(mine_k,
+                          jax.lax.dynamic_update_slice(Lcols, col, (0, kb)),
+                          Lcols)
+        if kb + nb < Np:
+            # trailing update of MY owned block columns > k only: per
+            # owned slot, one (rows x nb x nb) einsum + masked column
+            # write-back — flops/chip = full/ndev, no masked dead work
+            Az = jnp.concatenate(
+                [A, jnp.zeros((Mp, nb), dtype=dtype)], axis=1)
+            for slot in range(nown):
+                j = (d + slot * ndev).astype(jnp.int32)
+                live = (j > k) & (j < K)
+                jc = jnp.clip(j, 0, K - 1) * jnp.int32(nb)
+                Brow = jax.lax.dynamic_slice(
+                    jnp.concatenate(
+                        [Bk, jnp.zeros((nb, nb), dtype=dtype)], axis=0),
+                    (jnp.clip(jc - jnp.int32(kb + nb), 0,
+                              jnp.int32(Mp - kb - nb)), jnp.int32(0)),
+                    (nb, nb))
+                upd = jnp.einsum("ik,jk->ij", Bk, Brow,
+                                 preferred_element_type=dtype)
+                cur = jax.lax.dynamic_slice(
+                    Az, (jnp.int32(kb + nb), jc), (Mp - kb - nb, nb))
+                new = cur - upd * live.astype(dtype)
+                Az = jax.lax.dynamic_update_slice(
+                    Az, new, (jnp.int32(kb + nb), jc))
+            A = Az[:, :Np]
+    # partial SYRK from MY owned columns only (columns partition across
+    # blocks, so the psum of per-block outer products is exact)
+    if Mb:
+        Bm = Lcols[Np:]
+        Ud = jnp.zeros((Mb, Mb), dtype=dtype)
+        for slot in range(nown):
+            j = (d + slot * ndev).astype(jnp.int32)
+            jc = jnp.clip(j, 0, K - 1) * jnp.int32(nb)
+            Bj = jax.lax.dynamic_slice(Bm, (jnp.int32(0), jc), (Mb, nb))
+            Bj = Bj * (j < K).astype(dtype)
+            Ud = Ud + jnp.einsum("ik,jk->ij", Bj, Bj,
+                                 preferred_element_type=dtype)
+        pack = jnp.concatenate([Lcols.reshape(-1), Ud.reshape(-1)])
+    else:
+        pack = Lcols.reshape(-1)
+    pack = jax.lax.psum(pack, axis)
+    Lfull = pack[:Mp * Np].reshape(Mp, Np) * rm[:, None] * cmk[None, :]
+    Lx = jax.lax.dynamic_update_slice(Lx, Lfull.reshape(-1), (base,))
+    if Mb and c.L:
+        U = pack[Mp * Np:].reshape(Mb, Mb)
+        src = jnp.asarray(c.src[pos])
+        ids = jnp.asarray(c.ids[pos])
+        dstl = _loc(jnp.asarray(c.dst[pos]), d, dp.top_base, dp.Bloc, ndev)
+        u = U.reshape(-1)[src]
+        seg = jax.ops.segment_sum(u, ids, num_segments=c.K,
+                                  indices_are_sorted=True)
+        Lx = Lx.at[dstl].add(-seg, indices_are_sorted=True,
+                             unique_indices=True, mode="promise_in_bounds")
+    return Lx
 
 
 def _loc(x, d, top_base, Bloc, ndev):
@@ -706,13 +830,18 @@ def _make_dist_program(dp: DistPlan, mesh: Mesh, dtype):
             topsum = jax.lax.psum(topd, axis)
             Lx = jax.lax.dynamic_update_slice(
                 Lx, topsum + init[Bloc:Bloc + Btop], (Bloc,))
-        # phase 2: shared top (replicated, no communication) — fully
-        # static in the unrolled form
+        # phase 2: shared top — fully static in the unrolled form; LARGE
+        # fronts (dp.top_fan) run column-block-cyclic across the mesh
+        # instead of replicated
         if scan_form:
             Lx = scan_waves(Lx, instr2[0], instr2[1], d)
         else:
-            for cid, p in top_static:
-                Lx = branches[cid](Lx, p, d)
+            fan = dict(dp.top_fan)
+            for t, (cid, p) in enumerate(top_static):
+                if t in fan:
+                    Lx = _front_fanout(Lx, cid, p, fan[t], dp, axis, dtype)
+                else:
+                    Lx = branches[cid](Lx, p, d)
         if root is not None:
             Lx = _root_fanout_local(Lx, root, dp, axis, dtype)
         own = Lx[:Bloc]

@@ -199,3 +199,32 @@ class TestMultiHost:
         for pid, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
             assert "ok" in out
+
+
+class TestTopFrontFanout:
+    def test_fanout_matches_replicated(self, mesh8):
+        """Large top fronts distributed column-block-cyclic
+        (_front_fanout) must reproduce the replicated-top factorization
+        (different summation order: 1e-12 rel)."""
+        import dataclasses
+        import numpy as np
+        from suitesparse_tpu.core.common import default_common
+        from suitesparse_tpu.io import generators
+        from suitesparse_tpu.parallel.dist import (build_dist_plan,
+                                                   distributed_factorize)
+
+        A = generators.laplacian_3d(8)
+        cm = default_common()
+        # low threshold: several top fronts take the fanout path
+        dp = build_dist_plan(A, 8, cm, root_2d_min=16, root_2d_nb=16)
+        assert len(dp.top_fan) > 0, "no fanout fronts at this threshold"
+        f1, _ = distributed_factorize(A, mesh8, cm, dtype=np.float64, dp=dp)
+        dp2 = dataclasses.replace(dp, top_fan=())
+        f2, _ = distributed_factorize(A, mesh8, cm, dtype=np.float64,
+                                      dp=dp2)
+        a = np.asarray(f1.gather().Lx)
+        bb = np.asarray(f2.gather().Lx)
+        tot = dp.plan.total
+        rel = (np.abs(a[:tot] - bb[:tot]).max()
+               / max(np.abs(bb[:tot]).max(), 1.0))
+        assert rel < 1e-12, rel
