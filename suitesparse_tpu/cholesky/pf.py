@@ -822,6 +822,12 @@ def pf_numeric(vals, pfp: PFPlan, dtype, syrk_bf16=False, form=None):
     tri_inv = _tri_inv_enabled()
     from .pallas_kernels import pallas_enabled
     potrf = "pallas" if pallas_enabled() else "xla"
+    if potrf == "pallas" and pfp.buf * np.dtype(dtype).itemsize > (2 << 30):
+        # HBM-scale factors: the pallas path has an unresolved TPU-worker
+        # crash at lap3d_64 scale (round-4); the XLA path is ~15% slower
+        # per factor instruction but completes.  Trace-time choice — does
+        # not perturb the compiled programs of smaller matrices.
+        potrf = "xla"
     if form == "scan":
         return _pf_program_scan(jnp.asarray(vals, dtype=dtype), amaps[0],
                                 amaps[1], pfp.instr, ops, pfp.meta, pfp.buf,

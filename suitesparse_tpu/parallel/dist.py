@@ -440,18 +440,27 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
     # shared-CPU virtual mesh cannot show this — it serializes ndev x the
     # replicated work onto one socket)
     wfl = np.empty(nsuper)
+    fanned = np.zeros(nsuper, dtype=bool)
     for s_ in range(nsuper):
         ms_, ns_ = shapes[s_]
         wfl[s_] = float(ms_) * ms_ * ns_
+        fanned[s_] = (owner[s_] == -1 and ndev > 1
+                      and pad(ns_) >= root_2d_min)
     chip_fl = np.array([wfl[owner == c].sum() for c in range(ndev)])
-    top_fl = float(wfl[owner == -1].sum())
+    top_repl_fl = float(wfl[(owner == -1) & ~fanned].sum())
+    top_fan_fl = float(wfl[fanned].sum())
     tot_fl = float(wfl.sum())
     comm = dict(
         dist_chip_flops_max=float(chip_fl.max()) if ndev else 0.0,
         dist_chip_flops_mean=float(chip_fl.mean()) if ndev else 0.0,
-        dist_top_flops=top_fl,
+        dist_top_flops=top_repl_fl + top_fan_fl,
+        dist_top_fanned_flops=top_fan_fl,
+        # real-hardware wall model: max chip subtree + replicated small
+        # top + fanned big fronts at 1/ndev (their TRSM sliver stays
+        # replicated — folded into the replicated term would be ~nb/Np)
         dist_model_speedup=(
-            tot_fl / max(float(chip_fl.max()) + top_fl, 1.0)),
+            tot_fl / max(float(chip_fl.max()) + top_repl_fl
+                         + top_fan_fl / max(ndev, 1), 1.0)),
         dist_psum_elems=int(Btop) * 2 * (ndev - 1) // max(ndev, 1),
         dist_root_elems=(root[1] * root[1] + root[1] * root[2]
                          * (root[1] // root[2])) if root else 0,
