@@ -136,9 +136,11 @@ def bench_matrix(name, repeats, gemm_f32):
 
     vals = _assemble_values(A, sym, ss, dtype)
     t0 = time.perf_counter()
+    log(f"[{name}] compiling + first factor...")
     Lx = pf_numeric(vals, pfp, dtype)
     readback(Lx)
     t_first = time.perf_counter() - t0
+    log(f"[{name}] first factor done ({t_first:.1f}s)")
     # steady state = the refactorization path (values change, pattern
     # fixed): the program and all static maps are reused verbatim.
     # The first factor's buffer is RELEASED before timing starts and the
@@ -149,6 +151,7 @@ def bench_matrix(name, repeats, gemm_f32):
     t_single, t_factor, Lx = timed(lambda: pf_numeric(vd, pfp, dtype),
                                    repeats, keep_out=True)
     gflops = sym.flops / t_factor / 1e9
+    log(f"[{name}] refactor timing done ({t_factor*1e3:.1f} ms)")
 
     # device solve (4*lnz/ts protocol), single RHS and a 32-RHS batch.
     # RHS and solution live in HBM and the permutation runs in-program —
@@ -160,6 +163,7 @@ def bench_matrix(name, repeats, gemm_f32):
     f = SuperFactor(plan=plan, Lx=Lx, perm=sym.perm, minor=n, dtype=dtype)
     Dv = solve_dinv(wp, Lx)
     readback(Dv)
+    log(f"[{name}] Dinv built")
     f._dinv = Dv     # share: a second Dinv build would double its HBM
     permd = jnp.asarray(sym.perm)
     invp = np.empty(n, dtype=sym.perm.dtype)
@@ -169,11 +173,6 @@ def bench_matrix(name, repeats, gemm_f32):
     _, t_solve = timed(lambda: wave_solve_llt(wp, Lx, bd, Dv, permd, invpd),
                        repeats)
     solve_gflops = 4 * sym.lnz / t_solve / 1e9
-    B32d = jnp.asarray(np.ones((n, 32), dtype=dtype))
-    _, t_solve32 = timed(lambda: wave_solve_llt(wp, Lx, B32d, Dv, permd,
-                                                invpd),
-                         max(repeats // 2, 1))
-    solve32_gflops = 4 * sym.lnz * 32 / t_solve32 / 1e9
     # cross-check: the device solve must match the host-path solve
     xdev = np.asarray(wave_solve_llt(wp, Lx, bd, Dv, permd, invpd))[:, 0]
     xhost = solve_super(f, b, "A", cm)
@@ -187,6 +186,27 @@ def bench_matrix(name, repeats, gemm_f32):
         r = b - Sf @ x
         x = x + np.asarray(solve_super(f, r, "A", cm), dtype=np.float64)
     res = residual_norm(A, x, b)
+    log(f"[{name}] residual {res:.2e}")
+
+    # remaining phases are individually shielded: a TPU-worker crash in a
+    # LATER phase (observed at lap3d_64 scale through the tunnel) must not
+    # void the already-measured factor/solve/residual row
+    def safe(phase, fn, default=None):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            log(f"[{name}] phase {phase} FAILED: {type(e).__name__}: {e}")
+            return default
+
+    def _t32():
+        B32d = jnp.asarray(np.ones((n, 32), dtype=dtype))
+        _, t = timed(lambda: wave_solve_llt(wp, Lx, B32d, Dv, permd,
+                                            invpd), max(repeats // 2, 1))
+        return t
+    t_solve32 = safe("solve32", _t32)
+    solve32_gflops = (4 * sym.lnz * 32 / t_solve32 / 1e9
+                      if t_solve32 else None)
+    log(f"[{name}] solves timed")
 
     # bf16 A/B (VERDICT r4 item 3): SYRK + projection einsums run with
     # bf16 inputs / f32 accumulation; panels stay f32.  Same refinement
@@ -194,36 +214,49 @@ def bench_matrix(name, repeats, gemm_f32):
     # state is freed FIRST (two HBM-scale factors cannot coexist).
     bf16_gflops = bf16_res = None
     if os.environ.get("BENCH_BF16", "1") != "0":
-        Lx = f = Dv = None
-        _, t_bf16, Lxb = timed(lambda: pf_numeric(vd, pfp, dtype,
-                                                  syrk_bf16=True), repeats,
-                               keep_out=True)
-        bf16_gflops = sym.flops / t_bf16 / 1e9
-        fb = SuperFactor(plan=plan, Lx=Lxb, perm=sym.perm, minor=n,
-                         dtype=dtype)
-        xb = solve_super(fb, b, "A", cm).astype(np.float64)
-        for _ in range(3):
-            r = b - Sf @ xb
-            xb = xb + np.asarray(solve_super(fb, r, "A", cm),
-                                 dtype=np.float64)
-        bf16_res = residual_norm(A, xb, b)
-        log(f"[{name}] bf16 A/B: refactor {t_bf16*1e3:.3f} ms -> "
-            f"{bf16_gflops:.1f} GFLOP/s (f32 {gflops:.1f}); residual "
-            f"{bf16_res:.2e} (f32 {res:.2e})")
+        def _bf16():
+            nonlocal Lx, f, Dv
+            Lx = f = Dv = None
+            _, t_bf16, Lxb = timed(lambda: pf_numeric(vd, pfp, dtype,
+                                                      syrk_bf16=True),
+                                   repeats, keep_out=True)
+            g = sym.flops / t_bf16 / 1e9
+            fb = SuperFactor(plan=plan, Lx=Lxb, perm=sym.perm, minor=n,
+                             dtype=dtype)
+            xb = solve_super(fb, b, "A", cm).astype(np.float64)
+            for _ in range(3):
+                r = b - Sf @ xb
+                xb = xb + np.asarray(solve_super(fb, r, "A", cm),
+                                     dtype=np.float64)
+            rb = residual_norm(A, xb, b)
+            log(f"[{name}] bf16 A/B: refactor {t_bf16*1e3:.3f} ms -> "
+                f"{g:.1f} GFLOP/s (f32 {gflops:.1f}); residual "
+                f"{rb:.2e} (f32 {res:.2e})")
+            return g, rb
+        got = safe("bf16", _bf16)
+        if got:
+            bf16_gflops, bf16_res = got
 
-    # CPU baseline: scipy SuperLU numeric factor time
+    # CPU baseline: scipy SuperLU numeric factor time (shielded: host
+    # only, but O(fill) RAM/time at n=262k)
     import scipy.sparse.linalg as spla
-    t0 = time.perf_counter()
-    spla.splu(Sf.tocsc())
-    t_base = time.perf_counter() - t0
+
+    def _splu():
+        t0 = time.perf_counter()
+        spla.splu(Sf.tocsc())
+        return time.perf_counter() - t0
+    t_base = safe("splu", _splu)
 
     log(f"[{name}] first-factor {t_first*1e3:.1f} ms, "
         f"refactor {t_factor*1e3:.3f} ms (single-call {t_single*1e3:.3f}) "
         f"-> {gflops:.1f} GFLOP/s ({100*gflops/gemm_f32:.1f}% of measured "
         f"f32 GEMM peak); solve {t_solve*1e3:.3f} ms -> "
-        f"{solve_gflops:.2f} GFLOP/s (32-rhs {t_solve32*1e3:.2f} ms -> "
-        f"{solve32_gflops:.1f}); residual {res:.2e}; "
-        f"scipy splu {t_base*1e3:.1f} ms ({t_base/t_factor:.0f}x)")
+        f"{solve_gflops:.2f} GFLOP/s (32-rhs "
+        + (f"{t_solve32*1e3:.2f} ms -> {solve32_gflops:.1f}"
+           if t_solve32 else "n/a")
+        + f"); residual {res:.2e}; scipy splu "
+        + (f"{t_base*1e3:.1f} ms ({t_base/t_factor:.0f}x)"
+           if t_base else "n/a"))
     return dict(name=name, n=n, fl=sym.flops, lnz=int(sym.lnz),
                 t_analyze=t_analyze, t_factor=t_factor, gflops=gflops,
                 t_solve=t_solve, solve_gflops=solve_gflops,
@@ -304,7 +337,9 @@ def main():
             r["pct_gemm_peak"] = 100.0 * r["gflops"] / gemm_f32
             results.append(r)
         except Exception as e:  # noqa: BLE001 - keep benching other matrices
+            import traceback
             log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+            log(traceback.format_exc()[-2000:])
     if not results:
         raise SystemExit("no benchmark results")
 
@@ -313,7 +348,8 @@ def main():
         "metric": f"supernodal_cholesky_factor_gflops[{head['name']}]",
         "value": round(head["gflops"], 2),
         "unit": "GFLOP/s",
-        "vs_baseline": round(head["t_base"] / head["t_factor"], 3),
+        "vs_baseline": (round(head["t_base"] / head["t_factor"], 3)
+                        if head.get("t_base") else 0.0),
     }))
 
 
