@@ -203,7 +203,15 @@ def bench_matrix(name, repeats, gemm_f32):
         _, t = timed(lambda: wave_solve_llt(wp, Lx, B32d, Dv, permd,
                                             invpd), max(repeats // 2, 1))
         return t
-    t_solve32 = safe("solve32", _t32)
+    # the 32-RHS solve reproducibly CRASHES the TPU worker at HBM scale
+    # (lap3d_64; NOTES_ROUND4.md §8) — and a worker restart rotates the
+    # persistent-compilation-cache key for every later program, so the
+    # known-fatal phase is skipped rather than shielded there
+    if pfp.buf * np.dtype(dtype).itemsize < (2 << 30):
+        t_solve32 = safe("solve32", _t32)
+    else:
+        log(f"[{name}] solve32 skipped (HBM-scale worker-crash issue)")
+        t_solve32 = None
     solve32_gflops = (4 * sym.lnz * 32 / t_solve32 / 1e9
                       if t_solve32 else None)
     log(f"[{name}] solves timed")
