@@ -12,6 +12,27 @@ jax.sharding meshes.
 """
 __version__ = "0.1.0"
 
+# True-f32 matmul semantics by default.  On TPU, JAX's DEFAULT matmul
+# precision computes f32 dots with single-pass bf16 MXU multiplications
+# (measured relerr 2.3e-3, tools/probe_precision.py) — which silently
+# degraded every f32 einsum on the numeric path (SYRK, TRSM-by-inverse,
+# extend-add placement) to ~3 decimal digits and stalled iterative
+# refinement at ~1e-6 scaled residuals (round-4 VERDICT item 4; the
+# reference's f64 protocol reaches ~1e-16, cholmod_demo.c:453-503).
+# "float32" selects the multi-pass true-f32 algorithm (measured relerr
+# 4e-7 at the SAME throughput as default on v5e at panel sizes).  The
+# explicit bf16 knobs (cholesky.syrk_bf16) still cast inputs to bf16, so
+# the mixed-precision path is unaffected.  Opt out (or override) with
+# SSTPU_MM_PRECISION=default|float32|highest|bfloat16.
+import os as _os
+
+_prec = _os.environ.get("SSTPU_MM_PRECISION", "float32")
+if _prec != "default":
+    import jax as _jax
+
+    if _jax.config.jax_default_matmul_precision is None:
+        _jax.config.update("jax_default_matmul_precision", _prec)
+
 from .core.common import Common, default_common
 from .core.sparse import SparseCSC, Triplet, eye, spzeros
 from .core.status import SparseError, Status

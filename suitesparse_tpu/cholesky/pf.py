@@ -110,6 +110,25 @@ class PFPlan:
             self._cache["instr"] = got
         return got
 
+    @property
+    def runs(self):
+        """(cid, pos0, count) for maximal consecutive same-class runs.
+        Positions within a run are consecutive by construction (the
+        per-class position counter follows stream order)."""
+        got = self._cache.get("runs")
+        if got is None:
+            runs = []
+            for c, p in zip(self.instr_cls.tolist(),
+                            self.instr_pos.tolist()):
+                if runs and runs[-1][0] == c \
+                        and runs[-1][1] + runs[-1][2] == p:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([c, p, 1])
+            got = tuple(tuple(r) for r in runs)
+            self._cache["runs"] = got
+        return got
+
 
 def _dest_1hop(ss, rows_of, where, ub_slot_of, b, total: int, trash: int):
     """1-hop extend-add targets for one bucket: entry (i, c) of supernode
@@ -210,6 +229,9 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
     pair = opts.pf_group == "pair"
 
     for li, lv in enumerate(plan.levels):
+        lv_f = []            # level-local stream: indices into f_instrs
+        lv_p = []            # ... into p_instrs
+        lv_q = []            # ... into q_instrs
         lv_proj = []
         lv_pairs = {}        # (Mbc, bj) -> [(uoff, slotp, s, t), ...]
         for bi, b in enumerate(lv):
@@ -296,7 +318,7 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                         dest[lo:hi].reshape(-1), trash)
                     ops.update(src=src, ids=ids, dst=dst)
                 key = (Np, Mb, W, mode)
-                stream.append(("f", len(f_instrs)))
+                lv_f.append(len(f_instrs))
                 f_instrs.append((key, ops))
             # ---- projection instructions (after this bucket's factor) ----
             if mode == 1:
@@ -342,7 +364,7 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                                     + cp * Wp * Mbt * Mbt),
                                csel=csel, idxf=idxf)
                     key = (Wc, Mb, Wp, Npt, Mbt, G)
-                    stream.append(("p", len(p_instrs)))
+                    lv_p.append(len(p_instrs))
                     p_instrs.append((key, ops))
 
         # ---- pair-grouped projections (after ALL of the level's factors):
@@ -431,8 +453,25 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                       # idxf rows select the zero row -> contribute nothing
                       ops = dict(uoff=uoff, idxf=idxf, pdst=pdst, udst=udst)
                       key = (Mbc, G, Pq, Npt, Mbt)
-                      stream.append(("q", len(q_instrs)))
+                      lv_q.append(len(q_instrs))
                       q_instrs.append((key, ops))
+
+        # ---- level stream: ALL factors, then all projections, grouped by
+        # class.  Within a level every factor wave is independent and the
+        # projections/scatters are commutative adds into level li+1, so the
+        # reordering is semantics-preserving; grouping maximizes the
+        # consecutive same-class RUNS that the "runs" program form rolls
+        # into one fori-style loop each — one pallas_call INSTANCE per
+        # class instead of one per instruction (the ~5 s/instance Mosaic
+        # remote-compile wall, NOTES_ROUND4.md §8).  Stable sort keeps
+        # per-class emission order, so class-stack positions stay
+        # ascending within each run.
+        stream.extend(("f", i) for i in
+                      sorted(lv_f, key=lambda i: f_instrs[i][0]))
+        stream.extend(("p", i) for i in
+                      sorted(lv_p, key=lambda i: p_instrs[i][0]))
+        stream.extend(("q", i) for i in
+                      sorted(lv_q, key=lambda i: q_instrs[i][0]))
 
     # --- stack operands per class -----------------------------------------
     def stack(instrs, pad_scat=False):
@@ -580,10 +619,15 @@ def _tri_inv_enabled() -> bool:
 
 
 def _pallas_maxnp() -> int:
-    """Largest panel column class routed to the Pallas kernel (trace-time
-    env knob).  Np > this uses the XLA path."""
+    """Largest panel column class routed to the Pallas panel factor
+    (trace-time env knob).  Np > this uses the XLA path.  Classes above
+    128 run ``panel_factor``'s blocked-slab loop (128-wide panels of the
+    shared kernel + inverse-einsum TRSM + one SYRK per slab) — XLA's
+    ``cholesky`` on a (W, Np, Np) batch is a sequential While over Np
+    columns, which at the 4k-wide top fronts of lap3d_64 is thousands of
+    latency-bound steps."""
     import os
-    return int(os.environ.get("SSTPU_POTRF_MAXNP", "128"))
+    return int(os.environ.get("SSTPU_POTRF_MAXNP", "8192"))
 
 
 def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv=True,
@@ -806,6 +850,38 @@ def _pf_program_unroll(vals, a_src, a_dst, instr, class_ops, meta, buf,
     return Fx
 
 
+@functools.partial(jax.jit, static_argnums=(3, 5, 6, 7, 8, 9))
+def _pf_program_runs(vals, a_src, a_dst, runs, class_ops, meta, buf,
+                     syrk_bf16=False, tri_inv=True, potrf="pallas"):
+    """Run-compressed form: each maximal consecutive same-class run of
+    instructions becomes ONE ``lax.while_loop`` over the class's stacked
+    position axis (single-branch body — in-place dynamic-update-slice
+    aliasing holds, unlike scan+switch whose measured carry copy was
+    1.65 ms/step).  The program then contains one traced body — and one
+    Mosaic ``pallas_call`` INSTANCE — per (class, level-run) instead of
+    one per instruction: the remote-compile wall drops from
+    O(#instructions) x ~5 s to O(#classes) (NOTES_ROUND4.md §8).
+    Single-instruction runs stay straight-line (no loop overhead)."""
+    Fx = jnp.zeros(buf, dtype=vals.dtype)
+    Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
+                          unique_indices=True, mode="promise_in_bounds")
+    branches = _pf_branches(class_ops, meta, syrk_bf16, tri_inv, potrf)
+    for cid, p0, cnt in runs:
+        if cnt == 1:
+            Fx = branches[cid](Fx, p0)
+        else:
+            br = branches[cid]
+
+            def body(carry, br=br):
+                i, F = carry
+                return (i + 1, br(F, i))
+
+            _, Fx = jax.lax.while_loop(
+                lambda c, end=p0 + cnt: c[0] < end, body,
+                (jnp.int32(p0), Fx))
+    return Fx
+
+
 def pf_numeric(vals, pfp: PFPlan, dtype, syrk_bf16=False, form=None):
     """The full numeric factorization with pass-forward extend-add, as one
     compiled program (cached per (pattern, dtype, syrk_bf16))."""
@@ -822,15 +898,23 @@ def pf_numeric(vals, pfp: PFPlan, dtype, syrk_bf16=False, form=None):
     tri_inv = _tri_inv_enabled()
     from .pallas_kernels import pallas_enabled
     potrf = "pallas" if pallas_enabled() else "xla"
-    if potrf == "pallas" and pfp.buf * np.dtype(dtype).itemsize > (2 << 30):
-        # HBM-scale factors: the pallas path has an unresolved TPU-worker
-        # crash at lap3d_64 scale (round-4); the XLA path is ~15% slower
-        # per factor instruction but completes.  Trace-time choice — does
-        # not perturb the compiled programs of smaller matrices.
+    import os
+    maxbuf_gb = float(os.environ.get("SSTPU_POTRF_MAXBUF_GB", "inf"))
+    if potrf == "pallas" and \
+            pfp.buf * np.dtype(dtype).itemsize > maxbuf_gb * (1 << 30):
+        # Escape hatch for the round-4 HBM-scale TPU-worker instability
+        # (NOTES_ROUND4.md §8).  Round-5 bisection attributed the crashes
+        # to tunnel-worker OOM behavior, not the pallas path itself, so
+        # the gate now defaults OFF; set SSTPU_POTRF_MAXBUF_GB=2 to
+        # restore the round-4 behavior.
         potrf = "xla"
     if form == "scan":
         return _pf_program_scan(jnp.asarray(vals, dtype=dtype), amaps[0],
                                 amaps[1], pfp.instr, ops, pfp.meta, pfp.buf,
+                                syrk_bf16, tri_inv, potrf)
+    if form == "runs":
+        return _pf_program_runs(jnp.asarray(vals, dtype=dtype), amaps[0],
+                                amaps[1], pfp.runs, ops, pfp.meta, pfp.buf,
                                 syrk_bf16, tri_inv, potrf)
     seq = tuple((int(c), int(p))
                 for c, p in zip(pfp.instr_cls, pfp.instr_pos))

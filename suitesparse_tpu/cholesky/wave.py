@@ -142,6 +142,9 @@ def build_wave_plan(plan: NumericPlan, solve_only: bool = False) -> WavePlan:
     phase and this plan only drives wave_lsolve/wave_ltsolve."""
     n, total = plan.n, plan.total
     trash = total
+    if solve_only:
+        import os
+        scap = int(os.environ.get("SSTPU_SOLVE_WCAP_MB", "256")) << 20
     # pass 1: enumerate waves in schedule order
     waves = []   # (key, dict of per-wave raw pieces)
     for lv in plan.levels:
@@ -150,6 +153,21 @@ def build_wave_plan(plan: NumericPlan, solve_only: bool = False) -> WavePlan:
             Mp = Np + Mb
             W = int(b.W)
             nw = -(-B // W)
+            if solve_only and nw > 1:
+                # Fatter solve waves (VERDICT r4 item 8): the solve's cost
+                # floor is per-instruction issue (~7 ms at lap3d_28), so
+                # merge a bucket's waves into as few instructions as the
+                # slice-size cap allows.  The panel layout pads each
+                # bucket to nw*W slots, so any merge factor m | nw keeps
+                # every wave one contiguous dynamic_slice; merged pad
+                # slots carry zero masks / colidx=n and are inert (same
+                # contract as tail-wave padding).  Solve-only plans never
+                # drive the factor extend-add, so the factor W stays
+                # untouched.
+                m = nw
+                while m > 1 and (nw % m or m * W * Mp * Np * 4 > scap):
+                    m -= 1
+                W, nw = m * W, nw // m
             for w in range(nw):
                 lo, hi = w * W, min((w + 1) * W, B)
                 breal = hi - lo

@@ -23,7 +23,7 @@ from .amd import camd
 
 
 def nested_dissection(A: SparseCSC, common: Optional[Common] = None,
-                      nd_small: int = 200,
+                      nd_small: int = 800,
                       return_cmember: bool = False):
     """Returns the nested-dissection permutation (and optionally the
     constraint sets / separator-tree membership, cholmod_nested_dissection's
