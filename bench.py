@@ -97,7 +97,7 @@ def measure_gemm_roofline(dtype, size=8192, iters=8):
     return 2 * size**3 / dt / 1e9
 
 
-def bench_matrix(name, repeats, gemm_f32):
+def bench_matrix(name, repeats, gemm_f32, emit=lambda r: None):
     import jax.numpy as jnp
     from suitesparse_tpu.cholesky import (analyze, super_symbolic,
                                           residual_norm)
@@ -131,6 +131,7 @@ def bench_matrix(name, repeats, gemm_f32):
         f"nsuper={ss.nsuper} buckets={plan.nbuckets} "
         f"instr={len(pfp.instr_cls)} fcls={len(pfp.fmeta)} "
         f"pcls={len(pfp.pmeta)} projfl={pfp.proj_flops:.2g} "
+        f"padded_panel/lnz={plan.total/max(sym.lnz,1):.2f} "
         f"analyze={t_analyze:.2f}s (etree {t_sym:.2f} + super {t_ss:.2f} "
         f"+ plan {t_plan:.2f} + solvemaps)")
 
@@ -198,35 +199,66 @@ def bench_matrix(name, repeats, gemm_f32):
             log(f"[{name}] phase {phase} FAILED: {type(e).__name__}: {e}")
             return default
 
+    # CPU baseline: scipy SuperLU numeric factor time (shielded: host
+    # only, but O(fill) RAM/time at n=262k — measured 1087 s for
+    # lap3d_64 on this 2-core host, so the measurement is CACHED in
+    # BASELINE_SPLU.json; BENCH_SPLU=force re-measures)
+    import scipy.sparse.linalg as spla
+
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_SPLU.json")
+    # cache entries carry a host/scipy fingerprint so a ratio never mixes
+    # a baseline measured in a different environment (r4 advisor finding)
+    import platform
+    import scipy
+    fprint = f"{platform.node()}|scipy-{scipy.__version__}"
+    try:
+        splu_cache = json.load(open(cache_path))
+    except Exception:  # noqa: BLE001
+        splu_cache = {}
+
+    def _splu():
+        ent = splu_cache.get(name)
+        if (isinstance(ent, dict) and ent.get("fingerprint") == fprint
+                and os.environ.get("BENCH_SPLU") != "force"):
+            return float(ent["time_s"])
+        t0 = time.perf_counter()
+        spla.splu(Sf.tocsc())
+        t = time.perf_counter() - t0
+        splu_cache[name] = {"time_s": t, "fingerprint": fprint}
+        try:
+            json.dump(splu_cache, open(cache_path, "w"), indent=1)
+        except Exception:  # noqa: BLE001
+            pass
+        return t
+    t_base = safe("splu", _splu)
+
+    r = dict(name=name, n=n, fl=sym.flops, lnz=int(sym.lnz),
+             t_analyze=t_analyze, t_factor=t_factor, gflops=gflops,
+             t_solve=t_solve, solve_gflops=solve_gflops,
+             solve32_gflops=None, residual=res, t_base=t_base,
+             bf16_gflops=None, bf16_residual=None, t_first=t_first)
+    # the CORE row is complete: emit it NOW so a TPU-worker fatality in a
+    # later optional phase (the round-4 lap3d_64 failure mode) cannot void
+    # the measured factor/solve/residual numbers — the subprocess driver
+    # takes the LAST RESULT line it sees
+    emit(r)
+
     def _t32():
         B32d = jnp.asarray(np.ones((n, 32), dtype=dtype))
         _, t = timed(lambda: wave_solve_llt(wp, Lx, B32d, Dv, permd,
                                             invpd), max(repeats // 2, 1))
         return t
-    # the 32-RHS solve reproducibly CRASHES the TPU worker at HBM scale
-    # (lap3d_64; NOTES_ROUND4.md §8) — and a worker restart rotates the
-    # persistent-compilation-cache key for every later program, so the
-    # known-fatal phase is skipped rather than shielded there
-    if pfp.buf * np.dtype(dtype).itemsize < (2 << 30):
-        t_solve32 = safe("solve32", _t32)
-    else:
-        log(f"[{name}] solve32 skipped (HBM-scale worker-crash issue)")
-        t_solve32 = None
-    solve32_gflops = (4 * sym.lnz * 32 / t_solve32 / 1e9
-                      if t_solve32 else None)
-    log(f"[{name}] solves timed")
+    t_solve32 = safe("solve32", _t32)
+    r["solve32_gflops"] = (4 * sym.lnz * 32 / t_solve32 / 1e9
+                           if t_solve32 else None)
+    emit(r)
 
-    # bf16 A/B (VERDICT r4 item 3): SYRK + projection einsums run with
-    # bf16 inputs / f32 accumulation; panels stay f32.  Same refinement
-    # protocol so the residual is directly comparable.  The f32 factor
-    # state is freed FIRST (two HBM-scale factors cannot coexist).
-    bf16_gflops = bf16_res = None
-    # bf16 A/B skipped at HBM scale: no speedup measured at ANY size (the
-    # program is not MXU-bound; ACCURACY.md), and its separate cold
-    # compile (~40 min) plus the known lap3d_64 worker instability are
-    # not worth re-paying per run
-    if (os.environ.get("BENCH_BF16", "1") != "0"
-            and pfp.buf * np.dtype(dtype).itemsize < (2 << 30)):
+    # bf16 A/B: SYRK + projection einsums with bf16 inputs (single-pass
+    # MXU) vs the default tf32 (3-pass) — same refinement protocol so the
+    # residual is directly comparable.  The f32 factor state is freed
+    # FIRST (two HBM-scale factors cannot coexist).
+    if os.environ.get("BENCH_BF16", "1") != "0":
         def _bf16():
             nonlocal Lx, f, Dv
             Lx = f = Dv = None
@@ -238,61 +270,29 @@ def bench_matrix(name, repeats, gemm_f32):
                              dtype=dtype)
             xb = solve_super(fb, b, "A", cm).astype(np.float64)
             for _ in range(3):
-                r = b - Sf @ xb
-                xb = xb + np.asarray(solve_super(fb, r, "A", cm),
+                rr = b - Sf @ xb
+                xb = xb + np.asarray(solve_super(fb, rr, "A", cm),
                                      dtype=np.float64)
             rb = residual_norm(A, xb, b)
             log(f"[{name}] bf16 A/B: refactor {t_bf16*1e3:.3f} ms -> "
-                f"{g:.1f} GFLOP/s (f32 {gflops:.1f}); residual "
-                f"{rb:.2e} (f32 {res:.2e})")
+                f"{g:.1f} GFLOP/s (tf32 {gflops:.1f}); residual "
+                f"{rb:.2e} (tf32 {res:.2e})")
             return g, rb
         got = safe("bf16", _bf16)
         if got:
-            bf16_gflops, bf16_res = got
-
-    # CPU baseline: scipy SuperLU numeric factor time (shielded: host
-    # only, but O(fill) RAM/time at n=262k — measured 1087 s for
-    # lap3d_64 on this 2-core host, so the measurement is CACHED in
-    # BASELINE_SPLU.json; BENCH_SPLU=force re-measures)
-    import scipy.sparse.linalg as spla
-
-    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "BASELINE_SPLU.json")
-    try:
-        splu_cache = json.load(open(cache_path))
-    except Exception:  # noqa: BLE001
-        splu_cache = {}
-
-    def _splu():
-        if name in splu_cache and os.environ.get("BENCH_SPLU") != "force":
-            return float(splu_cache[name])
-        t0 = time.perf_counter()
-        spla.splu(Sf.tocsc())
-        t = time.perf_counter() - t0
-        splu_cache[name] = t
-        try:
-            json.dump(splu_cache, open(cache_path, "w"), indent=1)
-        except Exception:  # noqa: BLE001
-            pass
-        return t
-    t_base = safe("splu", _splu)
+            r["bf16_gflops"], r["bf16_residual"] = got
 
     log(f"[{name}] first-factor {t_first*1e3:.1f} ms, "
         f"refactor {t_factor*1e3:.3f} ms (single-call {t_single*1e3:.3f}) "
         f"-> {gflops:.1f} GFLOP/s ({100*gflops/gemm_f32:.1f}% of measured "
         f"f32 GEMM peak); solve {t_solve*1e3:.3f} ms -> "
         f"{solve_gflops:.2f} GFLOP/s (32-rhs "
-        + (f"{t_solve32*1e3:.2f} ms -> {solve32_gflops:.1f}"
+        + (f"{t_solve32*1e3:.2f} ms -> {r['solve32_gflops']:.1f}"
            if t_solve32 else "n/a")
         + f"); residual {res:.2e}; scipy splu "
         + (f"{t_base*1e3:.1f} ms ({t_base/t_factor:.0f}x)"
            if t_base else "n/a"))
-    return dict(name=name, n=n, fl=sym.flops, lnz=int(sym.lnz),
-                t_analyze=t_analyze, t_factor=t_factor, gflops=gflops,
-                t_solve=t_solve, solve_gflops=solve_gflops,
-                solve32_gflops=solve32_gflops, residual=res, t_base=t_base,
-                bf16_gflops=bf16_gflops, bf16_residual=bf16_res,
-                t_first=t_first)
+    return r
 
 
 def _bench_one_subprocess(name, repeats, gemm_f32):
@@ -311,12 +311,20 @@ def _bench_one_subprocess(name, repeats, gemm_f32):
         [sys.executable, os.path.abspath(__file__)], env=env,
         stdout=subprocess.PIPE, stderr=sys.stderr,
         timeout=int(os.environ.get("BENCH_ONE_TIMEOUT", "9000")))
-    if proc.returncode != 0:
-        raise RuntimeError(f"subprocess rc={proc.returncode}")
+    # take the LAST RESULT line: the core row is emitted before the
+    # optional phases, so a late-phase worker crash (rc != 0) still
+    # yields the measured factor/solve/residual numbers
+    last = None
     for line in proc.stdout.decode().splitlines():
         if line.startswith("RESULT:"):
-            return json.loads(line[len("RESULT:"):])
-    raise RuntimeError("subprocess produced no RESULT line")
+            last = json.loads(line[len("RESULT:"):])
+    if last is None:
+        raise RuntimeError(f"subprocess rc={proc.returncode}, no RESULT")
+    if proc.returncode != 0:
+        log(f"[{name}] subprocess rc={proc.returncode} after core phases "
+            f"(late-phase failure kept)")
+        last["late_phase_rc"] = proc.returncode
+    return last
 
 
 def main():
@@ -332,8 +340,10 @@ def main():
 
     one = os.environ.get("BENCH_ONE")
     if one:
-        r = bench_matrix(one, repeats, float(os.environ["BENCH_GEMM_F32"]))
-        print("RESULT:" + json.dumps(r), flush=True)
+        emit = lambda r: print("RESULT:" + json.dumps(r), flush=True)  # noqa: E731
+        r = bench_matrix(one, repeats, float(os.environ["BENCH_GEMM_F32"]),
+                         emit)
+        emit(r)
         return
 
     platform = next(iter(jnp.zeros(1).devices())).platform
@@ -353,8 +363,8 @@ def main():
 
     names = os.environ.get("BENCH_MATRIX", "").split(",") if \
         os.environ.get("BENCH_MATRIX") else (
-        ["bcsstk16", "lap3d_28", "lap3d_44", "lap3d_64"] if platform == "tpu"
-        else ["bcsstk16", "lap3d_12"])
+        ["bcsstk16", "lap3d_28", "lap3d_44", "fem3d_80000", "lap3d_64"]
+        if platform == "tpu" else ["bcsstk16", "lap3d_12"])
     subproc = (os.environ.get("BENCH_SUBPROC", "1") != "0"
                and platform == "tpu")
     results = []
@@ -373,13 +383,46 @@ def main():
     if not results:
         raise SystemExit("no benchmark results")
 
+    # per-package benches beyond Cholesky (KLU / UMFPACK / SPQR /
+    # GraphBLAS — VERDICT r4 item 5), in their own subprocess
+    extra = []
+    if os.environ.get("BENCH_EXTRA", "1") != "0" and platform == "tpu":
+        import subprocess
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_extra.py")],
+                stdout=subprocess.PIPE, stderr=sys.stderr, timeout=5400,
+                env=dict(os.environ))
+            for line in proc.stdout.decode().splitlines():
+                if line.startswith("RESULT:"):
+                    extra = json.loads(line[len("RESULT:"):])
+        except Exception as e:  # noqa: BLE001
+            log(f"[extra] FAILED: {type(e).__name__}: {e}")
+
+    # full detail artifact for the judge (stdout stays one line)
+    try:
+        detail = {
+            "gemm_roofline_gflops": {"f32_default_prec": round(gemm_f32, 1),
+                                     "bf16": round(gemm_bf16, 1)},
+            "matmul_precision": "tensorfloat32 (package default)",
+            "cholesky": results,
+            "packages": extra,
+        }
+        json.dump(detail, open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL.json"), "w"), indent=1)
+    except Exception as e:  # noqa: BLE001
+        log(f"detail artifact FAILED: {e}")
+
     head = max(results, key=lambda r: r["fl"])
     print(json.dumps({
         "metric": f"supernodal_cholesky_factor_gflops[{head['name']}]",
         "value": round(head["gflops"], 2),
         "unit": "GFLOP/s",
         "vs_baseline": (round(head["t_base"] / head["t_factor"], 3)
-                        if head.get("t_base") else 0.0),
+                        if head.get("t_base") else None),
     }))
 
 

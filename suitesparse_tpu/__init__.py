@@ -19,14 +19,17 @@ __version__ = "0.1.0"
 # extend-add placement) to ~3 decimal digits and stalled iterative
 # refinement at ~1e-6 scaled residuals (round-4 VERDICT item 4; the
 # reference's f64 protocol reaches ~1e-16, cholmod_demo.c:453-503).
-# "float32" selects the multi-pass true-f32 algorithm (measured relerr
-# 4e-7 at the SAME throughput as default on v5e at panel sizes).  The
-# explicit bf16 knobs (cholesky.syrk_bf16) still cast inputs to bf16, so
-# the mixed-precision path is unaffected.  Opt out (or override) with
-# SSTPU_MM_PRECISION=default|float32|highest|bfloat16.
+# "tensorfloat32" (bf16_3x) measures relerr 1.3e-5 at the SAME program
+# throughput as default (lap3d_28 A/B: 41.90 vs 41.95 ms) and restores
+# CHOLMOD-protocol residuals (1.9e-5 -> 5.6e-14 in 3 refinement steps);
+# "float32" (6-pass, relerr 4e-7) costs ~50% more compile for no
+# measured runtime or converged-residual benefit (tools/probe_prec_e2e).
+# The explicit bf16 knobs (cholesky.syrk_bf16) still cast inputs to
+# bf16, so the mixed-precision path is unaffected.  Opt out (or
+# override) with SSTPU_MM_PRECISION=default|tensorfloat32|float32|....
 import os as _os
 
-_prec = _os.environ.get("SSTPU_MM_PRECISION", "float32")
+_prec = _os.environ.get("SSTPU_MM_PRECISION", "tensorfloat32")
 if _prec != "default":
     import jax as _jax
 

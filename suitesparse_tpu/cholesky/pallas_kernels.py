@@ -92,12 +92,18 @@ def _chol_kernel(Np: int):
                     out_ref[:, c + 1:k8 + _BS, :] = (
                         out_ref[:, c + 1:k8 + _BS, :] - lcoef * row)
             if k8 + _BS < Np:
-                # trailing update for all later columns (static slices)
                 C8 = out_ref[:, k8:k8 + _BS, :]              # (Wc,8,Np)
                 lhs = C8[:, :, k8 + _BS:]                    # (Wc,8,t)
+                # trailing update for all later columns (static slices).
+                # Explicit HIGHEST precision: Mosaic rejects the HIGH
+                # (tensorfloat32) default the package sets for XLA-level
+                # dots, and DEFAULT would run the update in single-pass
+                # bf16 (~1e-3 relative — the round-4 residual-plateau
+                # class of error) inside the diagonal factor itself.
                 upd = jax.lax.dot_general(
                     lhs, C8, (((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=dt)               # (Wc,t,Np)
+                    preferred_element_type=dt,
+                    precision=jax.lax.Precision.HIGHEST)     # (Wc,t,Np)
                 out_ref[:, k8 + _BS:, :] = out_ref[:, k8 + _BS:, :] - upd
         keep = (ri >= ci).astype(dt)
         out_ref[:] = out_ref[:] * keep[None]

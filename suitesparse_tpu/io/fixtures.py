@@ -31,9 +31,16 @@ def reference_root() -> Optional[pathlib.Path]:
     return p if p.is_dir() else None
 
 
-def load_triplet(path: str, dtype=np.float64) -> SparseCSC:
+def load_triplet(path: str, dtype=np.float64,
+                 detect_sym: bool = False) -> SparseCSC:
     """CSparse cs_load format: zero-based 'row col value' per line
-    (reference CSparse/Source/cs_load.c, cs_entry accumulation of dups)."""
+    (reference CSparse/Source/cs_load.c, cs_entry accumulation of dups).
+
+    detect_sym: mark a square lower-triangular-pattern load as SYM_LOWER
+    (cs_demo's is_sym heuristic, cs_demo.c:30-45).  Off by default so a
+    genuinely triangular unsymmetric matrix is never silently symmetrized
+    (round-4 advisor finding); :func:`load` enables it only for the known
+    symmetric fixture names."""
     import scipy.sparse as sp
     data = np.loadtxt(path, dtype=np.float64, ndmin=2)
     if data.size == 0:
@@ -51,12 +58,17 @@ def load_triplet(path: str, dtype=np.float64) -> SparseCSC:
     # symmetric-lower so sym_upper_view & friends see the full pattern —
     # round-4 regression find: triu() of a lower-only stype-0 matrix is
     # just the diagonal, which silently made fixture tests vacuous.
-    if m == n and out.nnz:
+    if detect_sym and m == n and out.nnz:
         col = np.repeat(np.arange(n, dtype=np.int64), np.diff(out.indptr))
         if np.all(out.indices >= col):
             from ..core.sparse import SYM_LOWER
             out.stype = SYM_LOWER
     return out
+
+
+# triplet-format fixtures known to be symmetric lower-only storage (the
+# CSparse symmetric demo set, cs_demo.c is_sym candidates)
+_SYM_TRIPLET = {"bcsstk01", "bcsstk02", "bcsstk16"}
 
 
 # name -> path fragment under the reference root (first hit wins)
@@ -132,6 +144,7 @@ def load(name: str, dtype=np.float64) -> SparseCSC:
                 return mmread(str(p))
             if p.suffix in (".rsa", ".rua", ".rra", ".rb"):
                 return rbread(str(p))
-            return load_triplet(str(p), dtype)
+            return load_triplet(str(p), dtype,
+                                detect_sym=name in _SYM_TRIPLET)
     raise FileNotFoundError(f"fixture {name!r}: none of {cands} exist "
                             f"under {root}")

@@ -80,6 +80,44 @@ def circuit_like(n: int, seed: int = 0, dtype=np.float64) -> SparseCSC:
     return SparseCSC.from_scipy(sp.csc_matrix(A, dtype=dtype))
 
 
+def fem3d(n: int, seed: int = 0, dtype=np.float64) -> SparseCSC:
+    """Unstructured 3-D FEM-class SPD matrix: graph Laplacian (+shift) of
+    the Delaunay tetrahedralization of ``n`` seeded random points.
+
+    Unlike the lap3d grids, the pattern is genuinely IRREGULAR: vertex
+    degrees vary (~4-40), separators are uneven, and supernode shape
+    buckets come out non-uniform — the structure class of the ssget
+    nd6k/nd24k protocol matrices (CHOLMOD/Demo/gpu.sh:2-3) that the
+    regular grids cannot stand in for.  Deterministic per (n, seed)."""
+    from scipy.spatial import Delaunay
+    rng = np.random.default_rng(seed)
+    # clustered point density (uniform + two gaussian blobs) makes the
+    # element size — and hence the elimination-tree shape — non-uniform
+    n_u = n - n // 3 - n // 5
+    pts = np.concatenate([
+        rng.random((n_u, 3)),
+        rng.normal([0.25, 0.25, 0.25], 0.06, (n // 3, 3)),
+        rng.normal([0.7, 0.6, 0.5], 0.1, (n // 5, 3)),
+    ])
+    tet = Delaunay(pts)
+    # edges of every tetrahedron
+    s = tet.simplices
+    pairs = np.concatenate([s[:, [a, b]] for a in range(4)
+                            for b in range(a + 1, 4)])
+    i = np.minimum(pairs[:, 0], pairs[:, 1])
+    j = np.maximum(pairs[:, 0], pairs[:, 1])
+    ij = np.unique(i.astype(np.int64) * len(pts) + j)
+    i, j = ij // len(pts), ij % len(pts)
+    keep = i != j
+    i, j = i[keep], j[keep]
+    w = np.ones(len(i))
+    G = sp.coo_matrix((w, (i, j)), shape=(len(pts), len(pts)))
+    G = G + G.T
+    deg = np.asarray(G.sum(axis=1)).ravel()
+    A = (sp.diags(deg + 0.05) - G).tocsc()
+    return SparseCSC.from_scipy(sp.csc_matrix(A, dtype=dtype))
+
+
 def symmetrize_upper(A: SparseCSC) -> SparseCSC:
     """Return upper-triangular symmetric storage of (A+A')/2 + shift."""
     S = A.to_scipy()
@@ -99,6 +137,7 @@ def symmetrize_upper(A: SparseCSC) -> SparseCSC:
 _STANDINS = {
     "lap2d": laplacian_2d,
     "lap3d": laplacian_3d,
+    "fem3d": fem3d,
     "randspd": lambda n: random_spd(n, density=min(0.02, 40.0 / n)),
     "randunsym": lambda n: random_unsym(n, density=min(0.02, 40.0 / n)),
     "circuit": circuit_like,

@@ -94,6 +94,11 @@ def shard_inputs(mesh: Mesh, spec: P, host_array: np.ndarray):
         local = host_array
         if len(spec) and spec[0] is not None:
             nproc = jax.process_count()
+            assert host_array.shape[0] % nproc == 0, (
+                f"axis-sharded leading dim {host_array.shape[0]} must "
+                f"divide evenly by process_count={nproc} (the global mesh "
+                f"orders devices process-major; an indivisible dim would "
+                f"silently truncate trailing rows)")
             per = host_array.shape[0] // nproc
             pid = jax.process_index()
             local = host_array[pid * per:(pid + 1) * per]

@@ -18,7 +18,7 @@ def main():
     b = rng.standard_normal((m, m)).astype(np.float32)
     ref = (a.astype(np.float64) @ b.astype(np.float64))
     ad, bd = jnp.asarray(a), jnp.asarray(b)
-    for prec in ["default", "float32", "highest", "bfloat16"]:
+    for prec in ["default", "float32", "tensorfloat32", "highest", "bfloat16"]:
         f = jax.jit(lambda x, y: jnp.einsum(
             "ij,jk->ik", x, y, precision=prec,
             preferred_element_type=jnp.float32))
