@@ -452,7 +452,27 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                       uoff[P:] = uoff[0, 0]  # pads read a real slab; their
                       # idxf rows select the zero row -> contribute nothing
                       ops = dict(uoff=uoff, idxf=idxf, pdst=pdst, udst=udst)
-                      key = (Mbc, G, Pq, Npt, Mbt)
+                      # contiguity detection (round-5, from the device
+                      # profile: the slab scatter-add was 12% of program
+                      # time at lap3d_28).  When the chunk's parent slots
+                      # are consecutive — the common case, since ppart is
+                      # (bucket, slot)-sorted over full chunks — the
+                      # patch lands as ONE dynamic-slice read-modify-write
+                      # at HBM stream bandwidth instead of a scatter.
+                      # Pad rows continue the run and subtract exact
+                      # zeros (their idxf selects the zero row), which is
+                      # a numeric no-op on whatever they cover.
+                      L1, L2 = Mft * Npt, max(Mbt * Mbt, 1)
+                      pc = bool(np.all(np.diff(pdst[:P]) == L1))
+                      uc = bool(Mbt
+                                and np.all(np.diff(udst[:P]) == L2))
+                      if pc:
+                          ops["pdst"] = (pdst[0]
+                                         + np.arange(Pq, dtype=INDEX) * L1)
+                      if uc:
+                          ops["udst"] = (udst[0]
+                                         + np.arange(Pq, dtype=INDEX) * L2)
+                      key = (Mbc, G, Pq, Npt, Mbt, pc, uc)
                       lv_q.append(len(q_instrs))
                       q_instrs.append((key, ops))
 
@@ -550,6 +570,14 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                   int(np.max(ops["cub"])) + Wcw * Mbc * Mbc,
                   int(np.max(ops["pbase"])) + Wp * Mpt * Npt,
                   (int(np.max(ops["pub"])) + Wp * Mbt * Mbt) if Mbt else 0)
+    for (Mbc, G, Pq, Npt, Mbt, pc, uc), ops in qstk:
+        # contiguous-run pad rows extend past the last real slot; their
+        # zero-subtract touches whatever lies there, so the buffer must
+        # cover the full span
+        if pc:
+            buf = max(buf, int(np.max(ops["pdst"])) + (Npt + Mbt) * Npt)
+        if uc:
+            buf = max(buf, int(np.max(ops["udst"])) + Mbt * Mbt)
     return PFPlan(plan=plan,
                   fmeta=tuple(k for k, _ in fstk),
                   fops=[o for _, o in fstk],
@@ -635,60 +663,70 @@ def _factor_branch(Np, Mb, W, mode, L, K, syrk_bf16, tri_inv=True,
     Mp = Np + Mb
 
     def br(Fx, pos, ops):
+        # named scopes flow into HLO op_name metadata, which
+        # tools/profile_attrib.py joins with the device profile to
+        # attribute program time per phase (VERDICT r4 item 3)
         base = ops["base"][pos]
         pe = ops["padeye"][pos]
         rm = ops["rowmask"][pos]
         cmk = ops["colmask"][pos]
-        P = jax.lax.dynamic_slice(Fx, (base,), (W * Mp * Np,))
-        P = P.reshape(W, Mp, Np)
+        with jax.named_scope(f"Fslice{Np}x{Mb}"):
+            P = jax.lax.dynamic_slice(Fx, (base,), (W * Mp * Np,))
+            P = P.reshape(W, Mp, Np)
         if potrf == "pallas" and Np <= _pallas_maxnp():
             # fused blocked POTRF + TRSM in ONE kernel launch (XLA's
             # batched cholesky/triangular_solve are sequential Whiles over
             # columns — ~47 of 181 ms on lap3d_44, NOTES_ROUND3.md)
             from .pallas_kernels import panel_factor
-            newP = panel_factor(P, pe, rm, cmk)   # masked output
-            Bm = newP[:, Np:, :]
+            with jax.named_scope(f"Fpotrf{Np}x{Mb}"):
+                newP = panel_factor(P, pe, rm, cmk)   # masked output
+                Bm = newP[:, Np:, :]
         else:
             # upper triangle of the diagonal block may hold projection junk
-            T = jnp.tril(P[:, :Np, :])
-            Tfull = T + jnp.tril(T, -1).transpose(0, 2, 1)
-            Tfull = Tfull + jax.vmap(jnp.diag)(pe)
-            C = jnp.linalg.cholesky(Tfull)
-            if Mb:
-                if 8 < Np <= 128 and tri_inv:
-                    # latency-bound: TRSM via explicit L^-1 + one einsum
-                    Linv = _tri_inv_pow2(C)
-                    Bm = jnp.einsum("bmj,bij->bmi", P[:, Np:, :], Linv,
-                                    preferred_element_type=Fx.dtype)
+            with jax.named_scope(f"Fpotrf{Np}x{Mb}"):
+                T = jnp.tril(P[:, :Np, :])
+                Tfull = T + jnp.tril(T, -1).transpose(0, 2, 1)
+                Tfull = Tfull + jax.vmap(jnp.diag)(pe)
+                C = jnp.linalg.cholesky(Tfull)
+                if Mb:
+                    if 8 < Np <= 128 and tri_inv:
+                        # latency-bound: TRSM via explicit L^-1 + 1 einsum
+                        Linv = _tri_inv_pow2(C)
+                        Bm = jnp.einsum("bmj,bij->bmi", P[:, Np:, :], Linv,
+                                        preferred_element_type=Fx.dtype)
+                    else:
+                        Bm = jax.lax.linalg.triangular_solve(
+                            C, P[:, Np:, :], left_side=False, lower=True,
+                            transpose_a=True)
+                    newP = jnp.concatenate([C, Bm], axis=1)
                 else:
-                    Bm = jax.lax.linalg.triangular_solve(
-                        C, P[:, Np:, :], left_side=False, lower=True,
-                        transpose_a=True)
-                newP = jnp.concatenate([C, Bm], axis=1)
-            else:
-                newP = C
-            newP = newP * rm[:, :, None] * cmk[:, None, :]
-            Bm = newP[:, Np:, :]
+                    newP = C
+                newP = newP * rm[:, :, None] * cmk[:, None, :]
+                Bm = newP[:, Np:, :]
         if Mb:
-            Bs = Bm.astype(jnp.bfloat16) if syrk_bf16 else Bm
-            U = jnp.einsum("bik,bjk->bij", Bs, Bs,
-                           preferred_element_type=Fx.dtype)
-            ub = ops["ubs"][pos]
-            acc = jax.lax.dynamic_slice(Fx, (ub,), (W * Mb * Mb,))
-            acc = acc.reshape(W, Mb, Mb)
-            acc = jnp.tril(acc)        # lower-canonical incoming updates
-            U = U + acc + jnp.tril(acc, -1).transpose(0, 2, 1)
-        Fx = jax.lax.dynamic_update_slice(Fx, newP.reshape(-1), (base,))
-        if Mb and mode == 1:
-            # publish the full symmetric outgoing update
-            Fx = jax.lax.dynamic_update_slice(Fx, U.reshape(-1), (ub,))
+            with jax.named_scope(f"Fsyrk{Np}x{Mb}"):
+                Bs = Bm.astype(jnp.bfloat16) if syrk_bf16 else Bm
+                U = jnp.einsum("bik,bjk->bij", Bs, Bs,
+                               preferred_element_type=Fx.dtype)
+                ub = ops["ubs"][pos]
+                acc = jax.lax.dynamic_slice(Fx, (ub,), (W * Mb * Mb,))
+                acc = acc.reshape(W, Mb, Mb)
+                acc = jnp.tril(acc)    # lower-canonical incoming updates
+                U = U + acc + jnp.tril(acc, -1).transpose(0, 2, 1)
+        with jax.named_scope(f"Fwrite{Np}x{Mb}"):
+            Fx = jax.lax.dynamic_update_slice(Fx, newP.reshape(-1), (base,))
+            if Mb and mode == 1:
+                # publish the full symmetric outgoing update
+                Fx = jax.lax.dynamic_update_slice(Fx, U.reshape(-1), (ub,))
         if Mb and mode == 2 and L:
-            u = U.reshape(-1)[ops["src"][pos]]
-            seg = jax.ops.segment_sum(u, ops["ids"][pos], num_segments=K,
-                                      indices_are_sorted=True)
-            Fx = Fx.at[ops["dst"][pos]].add(
-                seg * ops["sgn"][pos], indices_are_sorted=True,
-                unique_indices=True, mode="promise_in_bounds")
+            with jax.named_scope(f"Fscat{Np}x{Mb}"):
+                u = U.reshape(-1)[ops["src"][pos]]
+                seg = jax.ops.segment_sum(u, ops["ids"][pos],
+                                          num_segments=K,
+                                          indices_are_sorted=True)
+                Fx = Fx.at[ops["dst"][pos]].add(
+                    seg * ops["sgn"][pos], indices_are_sorted=True,
+                    unique_indices=True, mode="promise_in_bounds")
         return Fx
     return br
 
@@ -749,7 +787,7 @@ def _slab_scatter_add(Fx, dst, updates):
         mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
 
-def _pair_branch(Mbc, G, Pq, Npt, Mbt, bf16=False):
+def _pair_branch(Mbc, G, Pq, Npt, Mbt, pc=False, uc=False, bf16=False):
     """Pair-grouped projection: parent-blocked contraction.  Each parent's
     children (padded to pow2 G) ride the einsum contraction axis, so the
     placement patch materializes PER PARENT — (Pq,Mft,Npt) — never per
@@ -765,32 +803,59 @@ def _pair_branch(Mbc, G, Pq, Npt, Mbt, bf16=False):
         dtype = Fx.dtype
         uoff = ops["uoff"][pos]          # (Pq, G) child slab offsets
         idxf = ops["idxf"][pos]          # (Pq, G, Mft)
-        Uc = jax.vmap(
-            lambda o: jax.lax.dynamic_slice(Fx, (o,), (Mbc * Mbc,)))(
-            uoff.reshape(-1))
-        Uc = Uc.reshape(Pq, G, Mbc, Mbc)
-        Ucz = jnp.concatenate(
-            [Uc, jnp.zeros((Pq, G, 1, Mbc), dtype=dtype)], axis=2)
-        R = jnp.take_along_axis(Ucz, idxf[:, :, :, None], axis=2)
-        # placement one-hots carry exact 0/1 values, so running the MXU
-        # contraction in bf16 only rounds the UPDATE entries (~2^-8
-        # relative) with f32 accumulation — the mixed-precision knob that
-        # pairs with iterative refinement (same contract as syrk_bf16)
-        edt = jnp.bfloat16 if bf16 else dtype
-        R = R.astype(edt)
-        mcols = jnp.arange(Mbc, dtype=jnp.int32)
-        Wh = (idxf[:, :, :, None] == mcols).astype(edt)     # (Pq,G,Mft,Mbc)
-        S = jnp.einsum("pgfm,pghm->pfh", R, Wh[:, :, :Npt, :],
-                       preferred_element_type=dtype)        # (Pq,Mft,Npt)
-        Fx = _slab_scatter_add(Fx, ops["pdst"][pos],
-                               -S.reshape(Pq, Mft * Npt))
+        with jax.named_scope(f"Qgather{Mbc}g{G}"):
+            Uc = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(Fx, (o,), (Mbc * Mbc,)))(
+                uoff.reshape(-1))
+            Uc = Uc.reshape(Pq, G, Mbc, Mbc)
+        with jax.named_scope(f"QplaceW{Mbc}g{G}"):
+            # placement one-hots carry exact 0/1 values, so running the
+            # MXU contraction in bf16 only rounds the UPDATE entries
+            # (~2^-8 relative) with f32 accumulation — the mixed-precision
+            # knob that pairs with refinement (same contract as syrk_bf16)
+            edt = jnp.bfloat16 if bf16 else dtype
+            mcols = jnp.arange(Mbc, dtype=jnp.int32)
+            Wh = (idxf[:, :, :, None] == mcols).astype(edt)  # (Pq,G,Mft,Mbc)
+        with jax.named_scope(f"QplaceR{Mbc}g{G}"):
+            # row placement ON THE MXU: R[p,g,f,:] = Uc[p,g,idxf[f],:]
+            # as one einsum against the same one-hot (pad rows, idxf=Mbc,
+            # have an all-zero one-hot row and come out exactly zero).
+            # The round-5 device profile measured the take_along_axis
+            # row-gather this replaces at 13.5% of the whole program —
+            # small-row gathers run at ~20 GB/s while this contraction
+            # rides the MXU.
+            R = jnp.einsum("pgfr,pgrm->pgfm", Wh, Uc.astype(edt),
+                           preferred_element_type=dtype)
+            R = R.astype(edt)
+        with jax.named_scope(f"Qeinsum{Mbc}g{G}"):
+            S = jnp.einsum("pgfm,pghm->pfh", R, Wh[:, :, :Npt, :],
+                           preferred_element_type=dtype)    # (Pq,Mft,Npt)
+        with jax.named_scope(f"Qscat{Mbc}g{G}"):
+            if pc:
+                # contiguous parent slots: ONE streamed read-modify-write
+                pb0 = ops["pdst"][pos][0]
+                reg = jax.lax.dynamic_slice(Fx, (pb0,), (Pq * Mft * Npt,))
+                reg = reg - S.reshape(-1)
+                Fx = jax.lax.dynamic_update_slice(Fx, reg, (pb0,))
+            else:
+                Fx = _slab_scatter_add(Fx, ops["pdst"][pos],
+                                       -S.reshape(Pq, Mft * Npt))
         if Mbt:
-            St = jnp.einsum("pgfm,pghm->pfh", R[:, :, Npt:, :],
-                            Wh[:, :, Npt:, :],
-                            preferred_element_type=dtype)   # (Pq,Mbt,Mbt)
-            St = jnp.tril(St)            # parent slots are lower-canonical
-            Fx = _slab_scatter_add(Fx, ops["udst"][pos],
-                                   St.reshape(Pq, Mbt * Mbt))
+            with jax.named_scope(f"Qeinsum{Mbc}g{G}"):
+                St = jnp.einsum("pgfm,pghm->pfh", R[:, :, Npt:, :],
+                                Wh[:, :, Npt:, :],
+                                preferred_element_type=dtype)  # (Pq,Mbt,Mbt)
+                St = jnp.tril(St)        # parent slots are lower-canonical
+            with jax.named_scope(f"Qscat{Mbc}g{G}"):
+                if uc:
+                    ub0 = ops["udst"][pos][0]
+                    reg = jax.lax.dynamic_slice(
+                        Fx, (ub0,), (Pq * Mbt * Mbt,))
+                    reg = reg + St.reshape(-1)
+                    Fx = jax.lax.dynamic_update_slice(Fx, reg, (ub0,))
+                else:
+                    Fx = _slab_scatter_add(Fx, ops["udst"][pos],
+                                           St.reshape(Pq, Mbt * Mbt))
         return Fx
     return br
 
@@ -810,8 +875,8 @@ def _pf_branches(class_ops, meta, syrk_bf16, tri_inv=True,
         for ops, (Wc, Mbc, Wp, Npt, Mbt, G) in zip(pops, pmeta)]
     branches += [
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
-            _pair_branch(Mbc, G, Pq, Npt, Mbt, syrk_bf16), ops)
-        for ops, (Mbc, G, Pq, Npt, Mbt) in zip(qops, qmeta)]
+            _pair_branch(Mbc, G, Pq, Npt, Mbt, pc, uc, syrk_bf16), ops)
+        for ops, (Mbc, G, Pq, Npt, Mbt, pc, uc) in zip(qops, qmeta)]
     return branches
 
 
@@ -841,9 +906,10 @@ def _pf_program_unroll(vals, a_src, a_dst, instr, class_ops, meta, buf,
     """Straight-line instruction sequence: XLA updates the factor buffer
     in place (no per-step carry copy).  Measured 4.7x faster than the
     scanned form on lap3d_28 AND 3x faster to compile."""
-    Fx = jnp.zeros(buf, dtype=vals.dtype)
-    Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
-                          unique_indices=True, mode="promise_in_bounds")
+    with jax.named_scope("Assemble"):
+        Fx = jnp.zeros(buf, dtype=vals.dtype)
+        Fx = Fx.at[a_dst].set(vals[a_src], indices_are_sorted=True,
+                              unique_indices=True, mode="promise_in_bounds")
     branches = _pf_branches(class_ops, meta, syrk_bf16, tri_inv, potrf)
     for cid, pos in instr:
         Fx = branches[cid](Fx, pos)

@@ -160,13 +160,16 @@ def make_program(pfp, variant):
             return Fx.at[0].add(acc)        # qeinsum: scatters dropped
         return br
 
-    qmk = (pair_branch_staged
-           if variant in ("qgather0", "qgather1", "qeinsum")
-           else _pair_branch)
-    branches += [
-        (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
-            qmk(Mbc, G, Pq, Npt, Mbt), ops)
-        for ops, (Mbc, G, Pq, Npt, Mbt) in zip(qops, qmeta)]
+    if variant in ("qgather0", "qgather1", "qeinsum"):
+        branches += [
+            (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
+                pair_branch_staged(Mbc, G, Pq, Npt, Mbt), ops)
+            for ops, (Mbc, G, Pq, Npt, Mbt, *_f) in zip(qops, qmeta)]
+    else:
+        branches += [
+            (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
+                _pair_branch(*key), ops)
+            for ops, key in zip(qops, qmeta)]
 
     ic = jnp.asarray(instr_cls)
     ip = jnp.asarray(instr_pos)

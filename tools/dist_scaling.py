@@ -43,7 +43,7 @@ def main(nx=16):
         mesh = make_mesh(nd)
         dp = build_dist_plan(A, nd, cm)
         f, sym = distributed_factorize(A, mesh, cm, dtype=np.float64, dp=dp)
-        reps = 3
+        reps = int(os.environ.get("DS_REPS", "3"))
         t0 = time.perf_counter()
         for _ in range(reps):
             f, sym = distributed_factorize(A, mesh, cm, dtype=np.float64,
@@ -59,6 +59,8 @@ def main(nx=16):
         from suitesparse_tpu.cholesky import residual_norm
         res = residual_norm(A, x, b)
         model = dp.comm.get("dist_model_speedup", 1.0)
+        model_d = dp.comm.get("dist_model_speedup_disp", 1.0)
+        pad = dp.comm.get("dist_pad_ratio", 1.0)
         if t1 is None:
             t1 = dt
         eff = t1 / (nd * dt)
@@ -66,15 +68,24 @@ def main(nx=16):
                          solve_s=round(ts, 4), speedup=round(t1 / dt, 2),
                          efficiency=round(eff, 3),
                          model_speedup=round(model, 2),
+                         model_speedup_disp=round(model_d, 2),
+                         model_disp_efficiency=round(model_d / nd, 3),
+                         pad_ratio=round(pad, 2),
+                         phase1_waves=int(dp.comm["dist_phase1_waves"]),
+                         padded_slots=int(
+                             dp.comm["dist_phase1_padded_waves"]),
                          per_chip_buf=int(dp.lbuf), global_buf=int(dp.buf),
                          residual=float(res)))
         # model_speedup = total / (max chip subtree + replicated top)
         # flops — the real-hardware expectation (each chip runs the top
         # concurrently); the shared-CPU virtual mesh instead SERIALIZES
         # ndev copies of the top onto one socket, so wall-clock here
-        # understates real scaling by construction
+        # understates real scaling by construction.  model_speedup_disp
+        # adds the measured per-instruction issue cost x padded slots
+        # (VERDICT r4 item 7) — the honest projection.
         print(f"ndev={nd}: factor {dt*1e3:8.1f} ms  solve {ts*1e3:7.1f} ms "
-              f"speedup {t1/dt:5.2f} (model {model:4.2f})  eff {eff:5.3f}  "
+              f"speedup {t1/dt:5.2f} (model {model:4.2f}, +disp "
+              f"{model_d:4.2f}, pad {pad:4.2f}x)  eff {eff:5.3f}  "
               f"per-chip buf {dp.lbuf} ({100.0*dp.lbuf/dp.buf:.0f}% of "
               f"global)  residual {res:.1e}", flush=True)
     print(json.dumps({"matrix": f"lap3d_{nx}", "n": n, "rows": rows}))
