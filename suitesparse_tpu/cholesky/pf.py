@@ -406,6 +406,25 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                   g = gmax if single else _pow2ceil(len(par[bs]))
                   by_g.setdefault(g, []).append((bs, par[bs]))
               for G, plist in sorted(by_g.items()):
+                  # gap-fill (round-5): a parent slot with no children in
+                  # this G-class breaks the destination run and forces the
+                  # slow scatter mode.  Filling gaps with empty parents
+                  # (all-pad idxf rows contribute exact zeros) restores
+                  # contiguity when the fill stays under 2x — einsum pad
+                  # flops are ~3% of program time, the scatter it replaces
+                  # was 12%.
+                  import itertools as _it
+                  filled = []
+                  for bj_, grp in _it.groupby(plist, key=lambda e: e[0][0]):
+                      grp = list(grp)
+                      sps = {e[0][1]: e for e in grp}
+                      lo_, hi_ = min(sps), max(sps)
+                      if hi_ - lo_ + 1 <= 2 * len(grp):
+                          filled.extend(sps.get(sp, ((bj_, sp), []))
+                                        for sp in range(lo_, hi_ + 1))
+                      else:
+                          filled.extend(grp)
+                  plist = filled
                   unit = G * Mft * 2 * Mbc + G * Mbc * Mbc \
                       + 2 * Mft * Npt + Mbt * Mbt
                   cap_p = max(1, PCAP // unit)
@@ -413,7 +432,7 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                       ppart = plist[p0:p0 + cap_p]
                       P = len(ppart)
                       Pq = _pow2ceil(P)
-                      uoff = np.zeros((Pq, G), dtype=INDEX)
+                      uoff = np.full((Pq, G), -1, dtype=INDEX)
                       idxf = np.full((Pq, G, Mft), Mbc, dtype=np.int32)
                       # absolute slab destinations; parent pads point past
                       # the buffer end and are dropped by the scatter mode.
@@ -430,6 +449,8 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                           pdst[k] = pb.base + sp * Mft * Npt
                           udst[k] = ub_base.get((li + 1, bj), 0) \
                               + sp * Mbt * Mbt
+                          if not childs:      # gap-fill parent: all pads
+                              continue
                           t = childs[0][2]
                           rows_t = rows_of[t]
                           ns_t = int(sup[t + 1] - sup[t])
@@ -449,9 +470,32 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                               idxf[k, g, fpos] = np.arange(mb, dtype=np.int32)
                               proj_flops += 2.0 * Mft * Npt * Mbc \
                                   + 2.0 * Mbt * Mbt * Mbc
-                      uoff[P:] = uoff[0, 0]  # pads read a real slab; their
-                      # idxf rows select the zero row -> contribute nothing
+                      real_u = uoff >= 0
+                      assert real_u.any(), "pair chunk with no children"
+                      fill_u = uoff[real_u][0]
+                      uoff[~real_u] = fill_u   # pads read a real slab;
+                      # their idxf rows select nothing -> contribute zero
                       ops = dict(uoff=uoff, idxf=idxf, pdst=pdst, udst=udst)
+                      # span-mode gather (round-5 profile: per-slab
+                      # vmap'd dynamic_slice gathers measured 32 GB/s at
+                      # lap3d_28).  When every child slab of the chunk
+                      # sits on one Mbc^2 grid inside a bounded span, the
+                      # gather becomes ONE streamed dynamic-slice + a
+                      # large-row take.  Span slab count pads to pow2 so
+                      # classes stay few.
+                      ssz = Mbc * Mbc
+                      m0 = int(uoff[real_u].min())
+                      span = int(uoff[real_u].max()) + ssz - m0
+                      nslab = span // ssz
+                      vol = Pq * G
+                      gc0 = bool(np.all((uoff[real_u] - m0) % ssz == 0)
+                                 and nslab <= max(2 * vol, 8)
+                                 and span <= 4 * CAP)
+                      spanq = _pow2ceil(max(nslab, 1)) if gc0 else 0
+                      if gc0:
+                          ops["g0"] = m0
+                          ops["gsel"] = ((uoff - m0) // ssz).astype(
+                              np.int32)
                       # contiguity detection (round-5, from the device
                       # profile: the slab scatter-add was 12% of program
                       # time at lap3d_28).  When the chunk's parent slots
@@ -472,7 +516,7 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                       if uc:
                           ops["udst"] = (udst[0]
                                          + np.arange(Pq, dtype=INDEX) * L2)
-                      key = (Mbc, G, Pq, Npt, Mbt, pc, uc)
+                      key = (Mbc, G, Pq, Npt, Mbt, pc, uc, spanq)
                       lv_q.append(len(q_instrs))
                       q_instrs.append((key, ops))
 
@@ -570,14 +614,16 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
                   int(np.max(ops["cub"])) + Wcw * Mbc * Mbc,
                   int(np.max(ops["pbase"])) + Wp * Mpt * Npt,
                   (int(np.max(ops["pub"])) + Wp * Mbt * Mbt) if Mbt else 0)
-    for (Mbc, G, Pq, Npt, Mbt, pc, uc), ops in qstk:
+    for (Mbc, G, Pq, Npt, Mbt, pc, uc, spanq), ops in qstk:
         # contiguous-run pad rows extend past the last real slot; their
         # zero-subtract touches whatever lies there, so the buffer must
-        # cover the full span
+        # cover the full span (same for the span-mode gather read)
         if pc:
             buf = max(buf, int(np.max(ops["pdst"])) + (Npt + Mbt) * Npt)
         if uc:
             buf = max(buf, int(np.max(ops["udst"])) + Mbt * Mbt)
+        if spanq:
+            buf = max(buf, int(np.max(ops["g0"])) + spanq * Mbc * Mbc)
     return PFPlan(plan=plan,
                   fmeta=tuple(k for k, _ in fstk),
                   fops=[o for _, o in fstk],
@@ -787,7 +833,8 @@ def _slab_scatter_add(Fx, dst, updates):
         mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
 
 
-def _pair_branch(Mbc, G, Pq, Npt, Mbt, pc=False, uc=False, bf16=False):
+def _pair_branch(Mbc, G, Pq, Npt, Mbt, pc=False, uc=False, spanq=0,
+                 bf16=False):
     """Pair-grouped projection: parent-blocked contraction.  Each parent's
     children (padded to pow2 G) ride the einsum contraction axis, so the
     placement patch materializes PER PARENT — (Pq,Mft,Npt) — never per
@@ -804,9 +851,17 @@ def _pair_branch(Mbc, G, Pq, Npt, Mbt, pc=False, uc=False, bf16=False):
         uoff = ops["uoff"][pos]          # (Pq, G) child slab offsets
         idxf = ops["idxf"][pos]          # (Pq, G, Mft)
         with jax.named_scope(f"Qgather{Mbc}g{G}"):
-            Uc = jax.vmap(
-                lambda o: jax.lax.dynamic_slice(Fx, (o,), (Mbc * Mbc,)))(
-                uoff.reshape(-1))
+            if spanq:
+                # streamed span read + large-row take (slab grid)
+                slab = jax.lax.dynamic_slice(
+                    Fx, (ops["g0"][pos],), (spanq * Mbc * Mbc,))
+                slab = slab.reshape(spanq, Mbc * Mbc)
+                Uc = jnp.take(slab, ops["gsel"][pos].reshape(-1), axis=0,
+                              indices_are_sorted=False, unique_indices=False)
+            else:
+                Uc = jax.vmap(
+                    lambda o: jax.lax.dynamic_slice(
+                        Fx, (o,), (Mbc * Mbc,)))(uoff.reshape(-1))
             Uc = Uc.reshape(Pq, G, Mbc, Mbc)
         with jax.named_scope(f"QplaceW{Mbc}g{G}"):
             # placement one-hots carry exact 0/1 values, so running the
@@ -875,8 +930,9 @@ def _pf_branches(class_ops, meta, syrk_bf16, tri_inv=True,
         for ops, (Wc, Mbc, Wp, Npt, Mbt, G) in zip(pops, pmeta)]
     branches += [
         (lambda brf, ops: (lambda Fx, pos: brf(Fx, pos, ops)))(
-            _pair_branch(Mbc, G, Pq, Npt, Mbt, pc, uc, syrk_bf16), ops)
-        for ops, (Mbc, G, Pq, Npt, Mbt, pc, uc) in zip(qops, qmeta)]
+            _pair_branch(Mbc, G, Pq, Npt, Mbt, pc, uc, spanq, syrk_bf16),
+            ops)
+        for ops, (Mbc, G, Pq, Npt, Mbt, pc, uc, spanq) in zip(qops, qmeta)]
     return branches
 
 
