@@ -149,14 +149,16 @@ def block_chol(S, pe):
     return out[:W]
 
 
-def _tri_inv_upper_pow2(U, base=8):
+def _tri_inv_upper_pow2(U, base=2):
     """Batched UPPER-triangular inverse via batch-folded block recursion
     (the transpose twin of pf._tri_inv_pow2):
 
         inv([[A, B], [0, D]]) = [[iA, -iA B iD], [0, iD]]
 
-    One base-size triangular_solve on the folded batch + log2(Np/base)
-    levels of batched MXU matmuls.  Np must be base * 2^k."""
+    The fold bottoms out at CLOSED-FORM 2x2 inverses (round-5: the
+    base-8 triangular_solve lowered to a sequential While that measured
+    7.4 ms across lap3d_44) + log2(Np/2) levels of batched MXU matmuls.
+    Np must be a power of two."""
     W, Np, _ = U.shape
     blocks = U
     stack = []
@@ -167,9 +169,19 @@ def _tri_inv_upper_pow2(U, base=8):
         blocks = jnp.concatenate(
             [blocks[:, :h, :h], blocks[:, h:, h:]], axis=0)
         m = h
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=U.dtype), blocks.shape)
-    inv = jax.lax.linalg.triangular_solve(
-        blocks, eye, left_side=True, lower=False)
+    if m == 2:
+        # inv([[a,b],[0,d]]) = [[1/a, -b/(a d)], [0, 1/d]] — elementwise
+        ia = 1.0 / blocks[:, 0, 0]
+        idd = 1.0 / blocks[:, 1, 1]
+        off = -blocks[:, 0, 1] * ia * idd
+        z = jnp.zeros_like(ia)
+        inv = jnp.stack(
+            [jnp.stack([ia, off], axis=1),
+             jnp.stack([z, idd], axis=1)], axis=1)
+    else:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=U.dtype), blocks.shape)
+        inv = jax.lax.linalg.triangular_solve(
+            blocks, eye, left_side=True, lower=False)
     while stack:
         Bblk = stack.pop()
         half = inv.shape[0] // 2
@@ -222,14 +234,14 @@ def panel_factor(P, pe, rm, cm):
                 [jnp.zeros((W, a, BB), dtype=dt), C], axis=1)
         slabs.append(slab)
         if b < Np:
-            # trailing update: rows b..Mp, columns b..Np
+            # trailing update: rows b..Mp, columns b..Np — written back
+            # IN PLACE (round-5: the concatenate form rebuilt the whole
+            # (W, Mp, Np) panel per slab, ~15 GB of pure copy traffic on
+            # the lap3d_64 root front alone)
             Tside = Lb[:, :Np - b, :]
             upd = jnp.einsum("bik,bjk->bij", Lb, Tside,
                              preferred_element_type=dt)
-            A = jnp.concatenate(
-                [A[:, :b, :],
-                 jnp.concatenate(
-                     [A[:, b:, :b], A[:, b:, b:] - upd], axis=2)],
-                axis=1)
+            A = jax.lax.dynamic_update_slice(
+                A, A[:, b:, b:] - upd, (0, b, b))
     newP = jnp.concatenate(slabs, axis=2) if len(slabs) > 1 else slabs[0]
     return newP * rm[:, :, None] * cm[:, None, :]

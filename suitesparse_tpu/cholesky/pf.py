@@ -640,20 +640,21 @@ def build_pf_plan(plan: NumericPlan, common=None) -> PFPlan:
 # Device program
 # ---------------------------------------------------------------------------
 
-def _tri_inv_pow2(C, base=8):
+def _tri_inv_pow2(C, base=2):
     """Batched lower-triangular inverse via batch-folded block recursion.
 
     XLA's triangular_solve on TPU is a sequential While over columns, so a
     (W, Np, Np) TRSM costs ~Np dispatch steps regardless of W (measured
     tools/microbench_dense.py) — the dominant factor-branch cost at small
-    Np.  This computes L^-1 with ONE base-size triangular_solve on the
-    folded batch (all diagonal base blocks at once) plus log2(Np/base)
-    levels of batched MXU matmuls:
+    Np.  This folds the batch down to 2x2 diagonal blocks, inverts those
+    in CLOSED FORM (round-5: the base-8 triangular_solve's While op
+    measured 7.4 ms across the lap3d_44 program), then rebuilds with
+    log2(Np/2) levels of batched MXU matmuls:
 
         inv([[A,0],[B,D]]) = [[iA, 0], [-iD B iA, iD]]
 
     and the TRSM then becomes a single einsum against L^-T.  Np must be
-    base * 2^k (the coarse shape ladder guarantees 8/32/128)."""
+    a power of two (the coarse shape ladder guarantees 8/32/128)."""
     W, Np, _ = C.shape
     blocks = C
     stack = []
@@ -664,9 +665,19 @@ def _tri_inv_pow2(C, base=8):
         blocks = jnp.concatenate(
             [blocks[:, :h, :h], blocks[:, h:, h:]], axis=0)
         m = h
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=C.dtype), blocks.shape)
-    inv = jax.lax.linalg.triangular_solve(
-        blocks, eye, left_side=True, lower=True)
+    if m == 2:
+        # inv([[a,0],[b,d]]) = [[1/a, 0], [-b/(a d), 1/d]] — elementwise
+        ia = 1.0 / blocks[:, 0, 0]
+        idd = 1.0 / blocks[:, 1, 1]
+        off = -blocks[:, 1, 0] * ia * idd
+        z = jnp.zeros_like(ia)
+        inv = jnp.stack(
+            [jnp.stack([ia, z], axis=1),
+             jnp.stack([off, idd], axis=1)], axis=1)
+    else:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=C.dtype), blocks.shape)
+        inv = jax.lax.linalg.triangular_solve(
+            blocks, eye, left_side=True, lower=True)
     while stack:
         Bblk = stack.pop()
         half = inv.shape[0] // 2
@@ -872,16 +883,24 @@ def _pair_branch(Mbc, G, Pq, Npt, Mbt, pc=False, uc=False, spanq=0,
             mcols = jnp.arange(Mbc, dtype=jnp.int32)
             Wh = (idxf[:, :, :, None] == mcols).astype(edt)  # (Pq,G,Mft,Mbc)
         with jax.named_scope(f"QplaceR{Mbc}g{G}"):
-            # row placement ON THE MXU: R[p,g,f,:] = Uc[p,g,idxf[f],:]
-            # as one einsum against the same one-hot (pad rows, idxf=Mbc,
-            # have an all-zero one-hot row and come out exactly zero).
-            # The round-5 device profile measured the take_along_axis
-            # row-gather this replaces at 13.5% of the whole program —
-            # small-row gathers run at ~20 GB/s while this contraction
-            # rides the MXU.
-            R = jnp.einsum("pgfr,pgrm->pgfm", Wh, Uc.astype(edt),
-                           preferred_element_type=dtype)
-            R = R.astype(edt)
+            # row placement, mode chosen by the one-hot tax (2*Mft*Mbc^2
+            # flops/child) vs the gather's row size (Mbc*4 bytes):
+            #  * Mbc <= 256: one-hot einsum on the MXU — the small-row
+            #    take_along_axis gather it replaces measured ~20 GB/s
+            #    (13.5% of the lap3d_28 program);
+            #  * big Mbc (top-level children): rows are >= 2 KB and
+            #    stream, while the one-hot tax explodes quadratically —
+            #    the lap3d_64 profile measured QplaceR3840g1 at 14 ms
+            #    (9 TF/s of pure placement flops) vs ~0.3 ms of gather.
+            if Mbc <= 256:
+                R = jnp.einsum("pgfr,pgrm->pgfm", Wh, Uc.astype(edt),
+                               preferred_element_type=dtype)
+                R = R.astype(edt)
+            else:
+                Ucz = jnp.concatenate(
+                    [Uc, jnp.zeros((Pq, G, 1, Mbc), dtype=dtype)], axis=2)
+                R = jnp.take_along_axis(
+                    Ucz, idxf[:, :, :, None], axis=2).astype(edt)
         with jax.named_scope(f"Qeinsum{Mbc}g{G}"):
             S = jnp.einsum("pgfm,pghm->pfh", R, Wh[:, :, :Npt, :],
                            preferred_element_type=dtype)    # (Pq,Mft,Npt)

@@ -65,11 +65,14 @@ class CholeskyOptions:
     # pass-forward extend-add: per-bucket scatter-vs-project cost model
     # (pf.py).  "auto" compares measured rates; "project"/"scatter" force.
     pf_mode: str = "auto"
-    # measured on v5e (tools/microbench.py, round 3): element gather
-    # 0.4 GB/s, sorted+unique scatter-add 0.9 GB/s -> effective ~1.2 GB/s
-    # over the 3-pass gather/segsum/scatter chain; projection einsums run
-    # at MXU-class rates
-    pf_scatter_bw: float = 1.2e9        # measured TPU scatter class (B/s)
+    # measured on v5e.  Round-5 device-profile recalibration
+    # (tools/profile_attrib.py): the 1-hop gather/segsum/scatter chain
+    # measured ~0.12 GB/s effective at program level (lap3d_28: 0.3 MB in
+    # 2.6 ms; lap3d_44: Fscat32x32 alone was 9.8% of the program), 10x
+    # below the round-3 microbench constant — while the projection path
+    # got ~5x cheaper once placement moved onto the MXU.  The honest
+    # constants flip most mode-2 buckets to projections.
+    pf_scatter_bw: float = 1.2e8        # measured TPU scatter class (B/s)
     pf_proj_rate: float = 1e13          # measured projection class (FLOP/s)
     # pass-forward projection grouping: "pair" fuses ALL children of one
     # (child shape, parent bucket) pair per level into ONE instruction

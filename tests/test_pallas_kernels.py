@@ -43,6 +43,11 @@ def _mk_panel(rng, W, Np, Mb, nreal, mreal, dtype=np.float64):
     (2, 32, 8, 30, 8),
     (2, 32, 128, 27, 125),
     (1, 128, 128, 126, 120),
+    # Np > 128: the blocked-slab loop (two 128-panels of the shared
+    # kernel + inverse-einsum TRSM + per-slab SYRK) — the path every
+    # Np <= SSTPU_POTRF_MAXNP (default 8192) class takes on TPU
+    # (round-4 advisor finding: it was unreachable at old defaults)
+    (1, 256, 32, 250, 30),
 ])
 def test_panel_factor_matches_lapack(W, Np, Mb, nreal, mreal):
     rng = np.random.default_rng(Np * 1000 + Mb)
