@@ -372,6 +372,25 @@ def main():
         try:
             if subproc:
                 r = _bench_one_subprocess(name, repeats, gemm_f32)
+                # the TPU-worker fault is FLAKY (round-5 bisection,
+                # NOTES_ROUND5.md §8: the same 32-RHS program crashes or
+                # passes on identical reruns) — retry the row in a fresh
+                # subprocess (warm cache) when a late phase died, merging
+                # any phase values the retry recovers
+                tries = int(os.environ.get("BENCH_RETRIES", "2"))
+                while r.get("late_phase_rc") and tries > 0:
+                    tries -= 1
+                    log(f"[{name}] retrying row (flaky late-phase crash)")
+                    try:
+                        r2 = _bench_one_subprocess(name, repeats, gemm_f32)
+                    except Exception as e:  # noqa: BLE001
+                        log(f"[{name}] retry FAILED: {e}")
+                        break
+                    for key, v in r2.items():
+                        if r.get(key) is None and v is not None:
+                            r[key] = v
+                    if not r2.get("late_phase_rc"):
+                        r["late_phase_rc"] = None
             else:
                 r = bench_matrix(name, repeats, gemm_f32)
             r["pct_gemm_peak"] = 100.0 * r["gflops"] / gemm_f32
