@@ -174,11 +174,17 @@ def bench_matrix(name, repeats, gemm_f32, emit=lambda r: None):
     _, t_solve = timed(lambda: wave_solve_llt(wp, Lx, bd, Dv, permd, invpd),
                        repeats)
     solve_gflops = 4 * sym.lnz / t_solve / 1e9
-    # cross-check: the device solve must match the host-path solve
+    # cross-check: the device-resident (in-program-permutation) solve
+    # must be a valid solve in its own right.  Comparing the two f32
+    # SOLUTIONS elementwise is the wrong check at scale: each carries
+    # O(kappa * 1.3e-5) error (tf32 ops) and the two separately compiled
+    # programs round differently, so their difference legitimately
+    # exceeds any fixed elementwise tolerance at n=262k (round-5).  The
+    # honest invariant is the scaled residual of the device solve.
     xdev = np.asarray(wave_solve_llt(wp, Lx, bd, Dv, permd, invpd))[:, 0]
-    xhost = solve_super(f, b, "A", cm)
-    assert np.allclose(xdev, xhost, rtol=1e-4, atol=1e-5), \
-        "device-resident solve diverges from host path"
+    res_dev = residual_norm(A, xdev.astype(np.float64), b)
+    assert res_dev < 1e-4, \
+        f"device-resident solve residual {res_dev:.2e} (not a solve)"
 
     # residual with f64 refinement on host (mixed-precision story)
     Sf = A.to_scipy().astype(np.float64)   # to_scipy expands sym storage

@@ -219,6 +219,37 @@ def run_all(which=None):
     return rows
 
 
+def run_isolated(which=None, retries=1):
+    """Each package in its OWN subprocess (+retry): the flaky TPU-worker
+    fault (NOTES_ROUND5.md §7) kills the jax client for the whole
+    process, so one crash must not void the other packages' rows."""
+    import subprocess
+    rows = []
+    for key in BENCHES:
+        if which and key not in which:
+            continue
+        row = None
+        for attempt in range(retries + 1):
+            try:
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--inproc", key],
+                    stdout=subprocess.PIPE, stderr=sys.stderr,
+                    timeout=2400, env=dict(os.environ))
+                for line in p.stdout.decode().splitlines():
+                    if line.startswith("RESULT:"):
+                        got = json.loads(line[len("RESULT:"):])
+                        if got and got[0].get("value") is not None:
+                            row = got[0]
+                if row:
+                    break
+                log(f"[{key}] attempt {attempt} no row (rc={p.returncode})")
+            except Exception as e:  # noqa: BLE001
+                log(f"[{key}] attempt {attempt} FAILED: {e}")
+        rows.append(row or {"metric": f"{key}_FAILED", "value": None})
+    return rows
+
+
 def main():
     import jax
     try:
@@ -227,8 +258,11 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001
         pass
-    which = sys.argv[1:] or None
-    rows = run_all(which)
+    args = sys.argv[1:]
+    if args and args[0] == "--inproc":
+        rows = run_all(args[1:] or None)
+    else:
+        rows = run_isolated(args or None)
     print("RESULT:" + json.dumps(rows), flush=True)
 
 
