@@ -384,7 +384,16 @@ def main():
                 # subprocess (warm cache) when a late phase died, merging
                 # any phase values the retry recovers
                 tries = int(os.environ.get("BENCH_RETRIES", "2"))
-                while r.get("late_phase_rc") and tries > 0:
+
+                def _incomplete(row):
+                    # a worker fault inside the subprocess is CAUGHT by
+                    # the phase shields (rc=0) but leaves the client dead
+                    # — a null solve32 (or bf16, when enabled) marks it
+                    return (row.get("late_phase_rc")
+                            or row.get("solve32_gflops") is None
+                            or (os.environ.get("BENCH_BF16", "1") != "0"
+                                and row.get("bf16_gflops") is None))
+                while _incomplete(r) and tries > 0:
                     tries -= 1
                     log(f"[{name}] retrying row (flaky late-phase crash)")
                     try:
@@ -395,8 +404,9 @@ def main():
                     for key, v in r2.items():
                         if r.get(key) is None and v is not None:
                             r[key] = v
-                    if not r2.get("late_phase_rc"):
+                    if not _incomplete(r2):
                         r["late_phase_rc"] = None
+                        break
             else:
                 r = bench_matrix(name, repeats, gemm_f32)
             r["pct_gemm_peak"] = 100.0 * r["gflops"] / gemm_f32
