@@ -144,7 +144,14 @@ def build_wave_plan(plan: NumericPlan, solve_only: bool = False) -> WavePlan:
     trash = total
     if solve_only:
         import os
-        scap = int(os.environ.get("SSTPU_SOLVE_WCAP_MB", "256")) << 20
+        # Fatter merged solve waves measured NO solve-time gain at any
+        # size (lap3d_28: 11.9 vs 11.6 ms; lap3d_44: 34.4 vs 33.2) and
+        # correlate with a sharply higher hit rate of the flaky
+        # TPU-worker fault at lap3d_64 (NOTES_ROUND5.md §7), so merging
+        # defaults OFF; set SSTPU_SOLVE_WCAP_MB (e.g. 256) to enable.
+        scap = int(os.environ.get("SSTPU_SOLVE_WCAP_MB", "0")) << 20
+        if not scap:
+            scap = -1          # merge disabled (m stays 1)
     # pass 1: enumerate waves in schedule order
     waves = []   # (key, dict of per-wave raw pieces)
     for lv in plan.levels:
