@@ -425,42 +425,82 @@ def build_dist_plan(A, ndev: int, common=None, oversub: int = 4,
                 if wu != wv:
                     succs[wu].append(wv)
                     npred[wv] += 1
-        # ready[c][cls] = list of wave ids sorted by (level, id): the pop
-        # order is deterministic and biased toward deeper-tree work first
-        ready: list[dict[int, list[int]]] = [{} for _ in range(ndev)]
+        npred0 = npred
+        preds: list[list[int]] = [[] for _ in range(nwaves)]
+        for wu in range(nwaves):
+            for wv in succs[wu]:
+                preds[wv].append(wu)
 
-        def _push(wi):
-            c = int(wave_owner[wi])
-            lst = ready[c].setdefault(int(wp.instr_cls[wi]), [])
-            bisect.insort(lst, (int(wave_level[wi]), int(wi)))
+        def _greedy(tiebreak):
+            """One list-scheduling pass; returns [(cid, {chip: wave})].
+            tiebreak orders equally-voted classes (determinism)."""
+            npred = npred0.copy()
+            ready: list[dict[int, list]] = [{} for _ in range(ndev)]
 
-        for wi in range(nwaves):
-            if wave_owner[wi] >= 0 and npred[wi] == 0:
-                _push(wi)
-        while any(ready[c] for c in range(ndev)):
-            # class runnable by the most chips; tie-break on total ready
-            # count, then class id (determinism)
-            votes: dict[int, list[int]] = {}
+            def _push(wi):
+                c = int(wave_owner[wi])
+                lst = ready[c].setdefault(int(wp.instr_cls[wi]), [])
+                bisect.insort(lst, (int(wave_level[wi]), int(wi)))
+
+            for wi in range(nwaves):
+                if wave_owner[wi] >= 0 and npred[wi] == 0:
+                    _push(wi)
+            sched = []
+            while any(ready[c] for c in range(ndev)):
+                votes: dict[int, list[int]] = {}
+                for c in range(ndev):
+                    for cid, lst in ready[c].items():
+                        v = votes.setdefault(cid, [0, 0])
+                        v[0] += 1
+                        v[1] += len(lst)
+                cid = max(votes,
+                          key=lambda k: (votes[k][0], tiebreak(votes[k]), -k))
+                row: dict[int, int] = {}
+                for c in range(ndev):
+                    lst = ready[c].get(cid)
+                    if lst:
+                        _lv, wi = lst.pop(0)
+                        if not lst:
+                            del ready[c][cid]
+                        row[c] = wi
+                        for wv in succs[wi]:
+                            npred[wv] -= 1
+                            if npred[wv] == 0:
+                                _push(wv)
+                sched.append((int(cid), row))
+            return sched
+
+        # two deterministic tie-breaks (most-ready-first vs rare-first),
+        # keep the shorter schedule
+        sched = min((_greedy(lambda v: v[1]), _greedy(lambda v: -v[1])),
+                    key=len)
+        # compaction: sweep late slots, pull each wave into the earliest
+        # same-class slot where its chip is idle and every predecessor is
+        # already behind it (successors sit at later slots by
+        # construction, so only the pred bound needs checking); drop
+        # slots that empty out
+        slot_of = {}
+        for t, (cid, row) in enumerate(sched):
+            for c, wi in row.items():
+                slot_of[wi] = t
+        for t in range(len(sched) - 1, -1, -1):
+            cid, row = sched[t]
+            for c in sorted(row):
+                wi = row[c]
+                lo = max((slot_of[p] + 1 for p in preds[wi]), default=0)
+                for t2 in range(lo, t):
+                    cid2, row2 = sched[t2]
+                    if cid2 == cid and c not in row2:
+                        row2[c] = wi
+                        del row[c]
+                        slot_of[wi] = t2
+                        break
+        sched = [(cid, row) for cid, row in sched if row]
+        for cid, row in sched:
+            seq_cls.append(cid)
             for c in range(ndev):
-                for cid, lst in ready[c].items():
-                    v = votes.setdefault(cid, [0, 0])
-                    v[0] += 1
-                    v[1] += len(lst)
-            cid = max(votes, key=lambda k: (votes[k][0], votes[k][1], -k))
-            seq_cls.append(int(cid))
-            for c in range(ndev):
-                lst = ready[c].get(cid)
-                if lst:
-                    _lv, wi = lst.pop(0)
-                    if not lst:
-                        del ready[c][cid]
-                    seq_pos_l[c].append(int(wp.instr_pos[wi]))
-                    for wv in succs[wi]:
-                        npred[wv] -= 1
-                        if npred[wv] == 0:
-                            _push(wv)
-                else:
-                    seq_pos_l[c].append(dead_pos[cid])
+                seq_pos_l[c].append(
+                    int(wp.instr_pos[row[c]]) if c in row else dead_pos[cid])
     else:
         for li in range(len(plan.levels)):
             in_lv = (wave_level == li) & sel1
